@@ -1,0 +1,125 @@
+"""Crawl configuration with defaults mirroring the reference's
+``conf/configsets/default/nutch-default.xml`` (cited per field).
+
+Everything is a plain dataclass so the whole config broadcasts cheaply
+to executors inside pandas UDF closures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SECONDS_PER_DAY = 24 * 3600
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- generate (Generator semantics) -------------------------------
+    # generate.topN: reference reducer default limit 100000
+    # (GenerateReducer.java:75-76)
+    top_n: int = 100_000
+    # generate.max.tasks.per.host (GenerateReducer.java:78,117-121)
+    max_per_host: int = 10_000
+    # generate.max.distance (GenerateMapper.java:287-294); -1 = unlimited
+    max_distance: int = -1
+    # detail-page quota: <= 2/3 of topN may be DETAIL pages
+    # (GenerateMapper.java:109-110)
+    detail_quota_num: int = 2
+    detail_quota_den: int = 3
+
+    # --- fetch politeness (FetchQueue semantics) -----------------------
+    # fetcher.server.delay = 5.0 s (nutch-default.xml:624-642)
+    crawl_delay_ms: int = 5_000
+    # fetcher.server.min.delay (multi-threaded queues)
+    min_crawl_delay_ms: int = 0
+    # fetcher.threads.per.queue = 1 (nutch-default.xml:673-675)
+    threads_per_queue: int = 1
+    # fetcher.timelimit.mins = 60 (FetchMonitor.java:94-95); per-round
+    # virtual-clock budget for the simulated fetch engine
+    round_time_limit_ms: int = 60 * 60 * 1000
+    # unreachable host: N consecutive failures detaches the host
+    # (TasksMonitor.java:343-366)
+    max_host_failures: int = 3
+
+    # --- schedules (AbstractFetchSchedule / AdaptiveFetchSchedule) ----
+    # db.fetch.interval.default = 30 days
+    default_fetch_interval_sec: int = 30 * SECONDS_PER_DAY
+    # seeds re-fetch fast (SeedBuilder.java:123-135)
+    seed_fetch_interval_sec: int = 60
+    # db.fetch.interval.max clamp in shouldFetch
+    # (AbstractFetchSchedule.java:177-189)
+    max_fetch_interval_sec: int = 90 * SECONDS_PER_DAY
+    # db.fetch.schedule.adaptive.* (AdaptiveFetchSchedule.java:85-92)
+    adaptive_inc_rate: float = 0.2
+    adaptive_dec_rate: float = 0.2
+    adaptive_min_interval_sec: int = 60
+    adaptive_max_interval_sec: int = 365 * SECONDS_PER_DAY
+    adaptive_sync_delta: bool = True
+    adaptive_sync_delta_rate: float = 0.2
+    # db.fetch.retry.max = 3 (ReduceDatumBuilder retry handling)
+    max_retries: int = 3
+    # GONE backoff factor (ReduceDatumBuilder.java:215-276)
+    gone_interval_factor: float = 1.5
+
+    # --- scoring (scoring-opic) ---------------------------------------
+    # db.score.link.internal / db.score.link.external
+    # (OPICScoringFilter.java:74-77)
+    internal_score_factor: float = 1.0
+    external_score_factor: float = 1.0
+    # db.score.injected (nutch-default.xml:467-469)
+    injected_score: float = 1.0e9
+
+    # --- updatedb ------------------------------------------------------
+    # db.max.outlinks.per.page = 100 (nutch-default.xml:502-504)
+    max_outlinks_per_page: int = 100
+    # outlink explode hard cap (MapDatumBuilder.java:186)
+    max_outlinks_exploded: int = 1_000
+    # db.update.max.inlinks = 10000 (ReduceDatumBuilder.java:50,114)
+    max_inlinks: int = 10_000
+    # db.update.additions.allowed (DbUpdateReducer.java:40,58)
+    additions_allowed: bool = True
+
+    # --- partitioning / skew -------------------------------------------
+    # partition.url.seed analog (URLPartitioner.java:101-103): per-round
+    # seed XOR'd into the host hash so a hot host moves between
+    # partitions across rounds.
+    partition_seed: int = 42
+    # number of host-hash buckets the frontier is written under
+    # (partition pruning analog of the reversed-key range scan)
+    host_buckets: int = 64
+    # salt factor for payload-parallel stages (never the politeness UDF)
+    salt_factor: int = 8
+
+    # --- URL-seen Bloom filter ------------------------------------------
+    bloom_partitions: int = 32
+    bloom_capacity_per_partition: int = 1_000_000
+    bloom_fp_rate: float = 0.01
+
+    # --- priorities (metadata/Nutch.java:78-84) -------------------------
+    priority_default: int = 0
+    priority_index_page: int = 1
+    priority_detail_page: int = 2
+    priority_must_generate: int = 100
+    priority_from_seed: int = 101
+    priority_must_fetch: int = 1000
+    priority_seed: int = 1001
+
+    extras: dict = field(default_factory=dict, compare=False, hash=False)
+
+
+DEFAULT_CONFIG = CrawlConfig()
+
+
+def test_config(**overrides) -> CrawlConfig:
+    """Small-scale config used by the pytest suite."""
+    base = dict(
+        top_n=1_000,
+        max_per_host=100,
+        crawl_delay_ms=1_000,
+        host_buckets=8,
+        bloom_partitions=4,
+        bloom_capacity_per_partition=10_000,
+        salt_factor=2,
+    )
+    base.update(overrides)
+    return CrawlConfig(**base)

@@ -1,0 +1,148 @@
+"""Deterministic image codec + perceptual hash for the image+caption
+payload corpus (BASELINE.json input_hint shape).
+
+The container has no PIL/imageio, so payload ``bytes`` use a tiny
+self-describing format ("WNIM") implemented in pure numpy+zlib:
+
+- mode 0 ("png"-class, lossless): zlib-compressed raw RGB8.
+- mode 1 ("jpeg"-class, lossy): 5-bit uniform quantization per channel,
+  zlib-compressed. Max per-pixel error 4 -> PSNR ~= 40.7 dB, which
+  satisfies the input_hint invariant "decoded-pixel PSNR >= 40 dB for
+  lossy" deterministically.
+
+The perceptual hash is a DCT pHash (32x32 grayscale -> DCT-II -> top
+8x8 AC block -> median threshold -> 64-bit int), fully vectorizable via
+numpy. This stands in for the reference's page ``signature`` (MD5 of
+content, ``crawl/MD5Signature.java:44-66``) on image payloads.
+
+Everything here is batch-oriented: the public functions accept numpy
+arrays / lists and are called from Arrow-batched pandas UDFs only.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"WNIM"
+MODE_LOSSLESS = 0
+MODE_LOSSY = 1
+
+_HEADER = struct.Struct("<4sBBHHBB")  # magic, ver, mode, w, h, channels, pad
+
+
+def encode_image(pixels: np.ndarray, fmt: str = "png") -> bytes:
+    """Encode an (h, w, 3) uint8 array. fmt 'png' -> lossless,
+    'jpeg' -> lossy 5-bit quantization."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expect (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    mode = MODE_LOSSLESS if fmt == "png" else MODE_LOSSY
+    if mode == MODE_LOSSY:
+        payload = (pixels >> 3).astype(np.uint8).tobytes()
+    else:
+        payload = pixels.tobytes()
+    return _HEADER.pack(MAGIC, 1, mode, w, h, 3, 0) + zlib.compress(payload, 6)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode WNIM bytes back to an (h, w, 3) uint8 array."""
+    magic, ver, mode, w, h, channels, _ = _HEADER.unpack_from(data)
+    if magic != MAGIC or ver != 1:
+        raise ValueError("not a WNIM payload")
+    raw = np.frombuffer(zlib.decompress(data[_HEADER.size :]), dtype=np.uint8)
+    px = raw.reshape(h, w, channels)
+    if mode == MODE_LOSSY:
+        # dequantize to bin centers: q*8 + 4 (max error 4 -> PSNR >= 40 dB)
+        px = np.minimum(px.astype(np.uint16) * 8 + 4, 255).astype(np.uint8)
+    return px
+
+
+def image_dims(data: bytes) -> tuple[int, int, str]:
+    """(w, h, fmt) from the header without decoding the payload."""
+    magic, ver, mode, w, h, _, _ = _HEADER.unpack_from(data)
+    if magic != MAGIC:
+        raise ValueError("not a WNIM payload")
+    return w, h, "png" if mode == MODE_LOSSLESS else "jpeg"
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# --------------------------------------------------------------------------
+# perceptual hash (DCT pHash)
+# --------------------------------------------------------------------------
+_N = 32
+_DCT_M = None
+
+
+def _dct_matrix(n: int = _N) -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _to_gray32(pixels: np.ndarray) -> np.ndarray:
+    gray = (
+        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
+    )
+    h, w = gray.shape
+    # deterministic nearest-index resample to 32x32
+    yi = (np.arange(_N) * h) // _N
+    xi = (np.arange(_N) * w) // _N
+    return gray[np.ix_(yi, xi)]
+
+
+def phash(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 image (signed int64
+    so it round-trips a Spark LongType column)."""
+    g = _to_gray32(pixels)
+    m = _dct_matrix()
+    d = m @ g @ m.T
+    block = d[:8, :8].copy()
+    flat = block.flatten()
+    med = np.median(flat[1:])  # exclude DC term from the threshold
+    bits = (flat > med).astype(np.uint64)
+    bits[0] = 0  # DC bit pinned for stability
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(np.int64(val))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic image generation (seeded by an integer id)
+# --------------------------------------------------------------------------
+def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pseudo-image: smooth gradients + seeded noise so
+    pHashes are non-degenerate and decode checks are meaningful."""
+    rng = np.random.default_rng(seed & 0x7FFFFFFF)
+    y = np.linspace(0, 1, h)[:, None]
+    x = np.linspace(0, 1, w)[None, :]
+    base = np.stack(
+        [
+            127 + 120 * np.sin(2 * np.pi * ((seed % 7 + 1) * x + y)),
+            127 + 120 * np.cos(2 * np.pi * ((seed % 5 + 1) * y - x)),
+            127 + 120 * np.sin(2 * np.pi * (x * y * (seed % 3 + 1) + 0.1)),
+        ],
+        axis=-1,
+    )
+    noise = rng.integers(-16, 17, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
