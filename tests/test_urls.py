@@ -75,6 +75,14 @@ def test_url_hash_is_sha1_hex():
     assert len(h) == 40 and int(h, 16) >= 0
 
 
+def test_canonicalize_col_rejects_garbage(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("not a url",), (":::",), ("http://ok.test/x",)], ["url"])
+    got = df.select(urls.canonicalize_col(F.col("url")).alias("c")).toPandas()["c"]
+    assert list(got.isna()) == [True, True, False]
+
+
 def test_spark_column_forms(spark):
     from pyspark.sql import functions as F
 

@@ -110,7 +110,7 @@ class CrawlConfig:
 DEFAULT_CONFIG = CrawlConfig()
 
 
-def test_config(**overrides) -> CrawlConfig:
+def make_test_config(**overrides) -> CrawlConfig:
     """Small-scale config used by the pytest suite."""
     base = dict(
         top_n=1_000,

@@ -177,7 +177,10 @@ def canonicalize_col(url: Column) -> Column:
     c = F.regexp_replace(c, r"\?&", "?")
     c = F.regexp_replace(c, r"&+", "&")
     c = F.regexp_replace(c, r"[?&;]+$", "")
-    return c
+    # reject non-URLs (the normalizer-chain 'reject' outcome -> NULL)
+    return F.when(c.rlike(r"^[a-z][a-z0-9+.-]*://[^/?#]+"), c).otherwise(
+        F.lit(None).cast("string")
+    )
 
 
 # --------------------------------------------------------------------------
