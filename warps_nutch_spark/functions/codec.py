@@ -33,9 +33,11 @@ MODE_LOSSY = 1
 _HEADER = struct.Struct("<4sBBHHBB")  # magic, ver, mode, w, h, channels, pad
 
 
-def encode_image(pixels: np.ndarray, fmt: str = "png") -> bytes:
+def encode_image(pixels: np.ndarray, fmt: str = "png", caption: str | None = None) -> bytes:
     """Encode an (h, w, 3) uint8 array. fmt 'png' -> lossless,
-    'jpeg' -> lossy 5-bit quantization."""
+    'jpeg' -> lossy 5-bit quantization. An optional caption travels as
+    a trailing metadata block (so parse genuinely extracts it from the
+    fetched content, like the reference's text extraction)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("expect (h, w, 3) uint8")
     h, w = pixels.shape[:2]
@@ -44,20 +46,42 @@ def encode_image(pixels: np.ndarray, fmt: str = "png") -> bytes:
         payload = (pixels >> 3).astype(np.uint8).tobytes()
     else:
         payload = pixels.tobytes()
-    return _HEADER.pack(MAGIC, 1, mode, w, h, 3, 0) + zlib.compress(payload, 6)
+    cap = (caption or "").encode("utf-8")
+    return (
+        _HEADER.pack(MAGIC, 1, mode, w, h, 3, 0)
+        + zlib.compress(payload, 6)
+        + struct.pack("<I", len(cap))
+        + cap
+    )
+
+
+def _split(data: bytes) -> tuple[tuple, np.ndarray, bytes]:
+    hdr = _HEADER.unpack_from(data)
+    if hdr[0] != MAGIC or hdr[1] != 1:
+        raise ValueError("not a WNIM payload")
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(data[_HEADER.size :]), dtype=np.uint8)
+    return hdr, raw, d.unused_data
 
 
 def decode_image(data: bytes) -> np.ndarray:
     """Decode WNIM bytes back to an (h, w, 3) uint8 array."""
-    magic, ver, mode, w, h, channels, _ = _HEADER.unpack_from(data)
-    if magic != MAGIC or ver != 1:
-        raise ValueError("not a WNIM payload")
-    raw = np.frombuffer(zlib.decompress(data[_HEADER.size :]), dtype=np.uint8)
+    (_, _, mode, w, h, channels, _), raw, _ = _split(data)
     px = raw.reshape(h, w, channels)
     if mode == MODE_LOSSY:
         # dequantize to bin centers: q*8 + 4 (max error 4 -> PSNR >= 40 dB)
         px = np.minimum(px.astype(np.uint16) * 8 + 4, 255).astype(np.uint8)
     return px
+
+
+def decode_caption(data: bytes) -> str | None:
+    """Extract the trailing caption block (None if absent/empty)."""
+    _, _, tail = _split(data)
+    if len(tail) < 4:
+        return None
+    (n,) = struct.unpack_from("<I", tail)
+    cap = tail[4 : 4 + n].decode("utf-8")
+    return cap or None
 
 
 def image_dims(data: bytes) -> tuple[int, int, str]:

@@ -1,0 +1,234 @@
+"""Round driver: the ``bin/crawl`` loop re-expressed.
+
+Reference: ``src/bin/crawl:128-193`` runs inject once, then per round
+generate -> fetch -> parse -> updatedb, each a separate MR job keyed
+by a batch id; a ``.STOP`` file breaks the loop. Here each stage is
+one DataFrame job writing a parquet artifact under
+``rounds/<batch_id>/<stage>/`` with a ``_DONE`` marker; the frontier
+store is versioned, so **any kill point resumes**: completed stages
+are skipped (their artifacts re-read), the interrupted stage re-runs
+idempotently (mirroring ``-resume`` / mark-presence guards,
+``FetchMapper.java:115-123``, ``ParserMapper.java:132-141``).
+
+Time is a virtual clock: round r starts at start_ms +
+r * round_time_limit_ms, so politeness spacing, schedules and scores
+are bit-reproducible across re-runs (SURVEY.md §7 hard-part 5).
+
+Per-round state maintained alongside the frontier:
+- URL-seen Bloom partitions (``store/urlseen.py``),
+- unreachable-host table (3 strikes -> detached,
+  ``TasksMonitor.java:343-366``),
+- metrics table (NutchCounter families + throughput),
+- payload table (the input_hint image+caption corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.status import CrawlStatus, ProtocolStatus
+from ..operators import fetch as fetch_op
+from ..operators import generate as gen_op
+from ..operators import inject as inj_op
+from ..operators import parse as parse_op
+from ..operators import updatedb as upd_op
+from ..store.frontier import ParquetFrontierStore
+from ..store.urlseen import BloomUrlSeen
+
+
+class RoundDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: CrawlConfig,
+        web_params: tuple = (20, 1000, 42),
+        start_ms: int = 1_700_000_000_000,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg
+        self.web_params = web_params
+        self.start_ms = start_ms
+        self.store = ParquetFrontierStore(spark, os.path.join(workdir, "frontier"), cfg.host_buckets)
+        self.urlseen = BloomUrlSeen(
+            os.path.join(workdir, "urlseen"),
+            cfg.bloom_partitions,
+            cfg.bloom_capacity_per_partition,
+            cfg.bloom_fp_rate,
+        )
+        os.makedirs(os.path.join(workdir, "rounds"), exist_ok=True)
+
+    # ---- helpers ------------------------------------------------------
+    def _stage_dir(self, batch_id: str, stage: str) -> str:
+        return os.path.join(self.workdir, "rounds", batch_id, stage)
+
+    def _done(self, batch_id: str, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._stage_dir(batch_id, stage), "_DONE"))
+
+    def _mark_done(self, batch_id: str, stage: str, meta: dict | None = None) -> None:
+        d = self._stage_dir(batch_id, stage)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            json.dump(meta or {}, f)
+
+    def _write_stage(self, df: DataFrame, batch_id: str, stage: str) -> DataFrame:
+        path = os.path.join(self._stage_dir(batch_id, stage), "data")
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _read_stage(self, batch_id: str, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._stage_dir(batch_id, stage), "data"))
+
+    def _append_metrics(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))
+
+    def payloads(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "payloads"))
+
+    # ---- unreachable hosts ------------------------------------------
+    def _hosts_path(self) -> str:
+        return os.path.join(self.workdir, "hosts")
+
+    def unreachable_hosts(self) -> DataFrame | None:
+        p = self._hosts_path()
+        if not os.path.exists(p):
+            return None
+        return (
+            self.spark.read.parquet(p)
+            .filter(F.col("failures") >= self.cfg.max_host_failures)
+            .select("host")
+        )
+
+    def _update_host_failures(self, fetch_results: DataFrame, batch_id: str) -> None:
+        fail = (
+            fetch_results.filter(
+                F.col("fetched")
+                & F.col("proto_code").isin(ProtocolStatus.TIMEOUT, ProtocolStatus.UNKNOWN_HOST)
+            )
+            .groupBy("host")
+            .agg(F.count("*").alias("new_failures"))
+        )
+        p = self._hosts_path()
+        if os.path.exists(p):
+            prev = self.spark.read.parquet(p)
+            merged = (
+                prev.join(fail, on="host", how="outer")
+                .select(
+                    "host",
+                    (F.coalesce("failures", F.lit(0)) + F.coalesce("new_failures", F.lit(0))).alias(
+                        "failures"
+                    ),
+                )
+            )
+        else:
+            merged = fail.select("host", F.col("new_failures").alias("failures"))
+        tmp = p + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(p)
+
+    # ---- stages ---------------------------------------------------------
+    def inject(self, seeds, batch_id: str = "inject") -> None:
+        parsed = inj_op.parse_seed_lines(self.spark, seeds)
+        rows = inj_op.inject(self.store, parsed, self.cfg, self.start_ms, batch_id)
+        self.urlseen.merge_round(rows.select("url_hash"), "url_hash", batch_id)
+
+    def round_now(self, r: int) -> int:
+        return self.start_ms + r * self.cfg.round_time_limit_ms
+
+    def run_round(self, r: int) -> dict:
+        batch_id = f"batch-{r:04d}"
+        now = self.round_now(r)
+        t0 = time.time()
+
+        # -- generate ----------------------------------------------------
+        if not self._done(batch_id, "generate"):
+            fl = gen_op.generate(
+                self.store.read(), self.cfg, now, batch_id, self.unreachable_hosts()
+            )
+            fl = self._write_stage(fl, batch_id, "generate")
+            # persist the GENERATE_MARK on the frontier (resume guard F13)
+            marks = fl.select(*self.store.read().columns)
+            self.store.merge(marks, {"op": "generate", "batch_id": batch_id})
+            self._mark_done(batch_id, "generate", {"rows": fl.count()})
+        fetchlist = self._read_stage(batch_id, "generate")
+
+        # -- fetch ---------------------------------------------------------
+        if not self._done(batch_id, "fetch"):
+            res = fetch_op.fetch(
+                fetchlist, self._robots_df(), self.cfg, now, batch_id, self.web_params
+            )
+            res = self._write_stage(res, batch_id, "fetch")
+            self._update_host_failures(res, batch_id)
+            self._append_metrics(
+                res.filter(F.col("fetched"))
+                .groupBy("new_status")
+                .agg(F.count("*").alias("value"))
+                .select(
+                    F.lit(batch_id).alias("batch_id"),
+                    F.lit("fetch").alias("stage"),
+                    F.col("new_status").cast("string").alias("counter"),
+                    "value",
+                )
+            )
+            self._mark_done(batch_id, "fetch")
+        fetch_results = self._read_stage(batch_id, "fetch")
+
+        # -- parse -----------------------------------------------------------
+        if not self._done(batch_id, "parse"):
+            parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
+            parsed = self._write_stage(parsed, batch_id, "parse")
+            payloads = parse_op.payload_rows(parsed)
+            payloads.write.mode("append").parquet(os.path.join(self.workdir, "payloads"))
+            self._mark_done(batch_id, "parse")
+        parsed = self._read_stage(batch_id, "parse")
+
+        # -- updatedb ----------------------------------------------------------
+        if not self._done(batch_id, "updatedb"):
+            merge_rows, counters = upd_op.updatedb(
+                self.store.read(), parsed, self.cfg, now, batch_id, self.urlseen
+            )
+            merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
+            self.store.merge(merge_rows, {"op": "updatedb", "batch_id": batch_id})
+            self.urlseen.merge_round(
+                merge_rows.select("url_hash"), "url_hash", batch_id
+            )
+            self._append_metrics(counters)
+            self._mark_done(batch_id, "updatedb")
+
+        elapsed = time.time() - t0
+        fetched = fetch_results.filter(F.col("fetched")).count()
+        updated = self._read_stage(batch_id, "updatedb").count()
+        return {
+            "batch_id": batch_id,
+            "elapsed_sec": elapsed,
+            "fetched": fetched,
+            "updated": updated,
+            "throughput_rows_per_sec": (fetched + updated) / elapsed if elapsed else 0.0,
+        }
+
+    def _robots_df(self) -> DataFrame:
+        from .. import simweb as sw
+
+        web = sw.SimWeb(*self.web_params)
+        return self.spark.createDataFrame(web.robots())
+
+    def run(self, seeds, rounds: int) -> list[dict]:
+        if self.store.current_version() < 0:
+            self.inject(seeds)
+        stats = []
+        for r in range(rounds):
+            if os.path.exists(os.path.join(self.workdir, ".STOP")):
+                break  # bin/crawl:135-140 semantics
+            stats.append(self.run_round(r))
+        return stats

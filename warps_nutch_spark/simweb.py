@@ -189,13 +189,16 @@ class SimWeb:
         ).to_numpy(object)
 
     def render_payload(self, hi: int, j: int) -> bytes:
-        """Encode the page's image bytes (called from the fetch UDF)."""
+        """Encode the page's image bytes + embedded caption (called
+        from the fetch UDF — the caption is parse-extractable content,
+        not metadata)."""
         hi_a, j_a = np.array([hi]), np.array([j])
         seed = int(self.payload_seed(hi_a, j_a)[0])
         w, h = self.image_dims(hi_a, j_a)
         fmt = str(self.image_fmt(hi_a, j_a)[0])
+        caption = str(self.caption(hi_a, j_a)[0])
         px = codec.synth_pixels(seed, int(w[0]), int(h[0]))
-        return codec.encode_image(px, fmt)
+        return codec.encode_image(px, fmt, caption=caption)
 
     # -- enumeration (for seeds and oracle checks) ----------------------
     def all_urls(self) -> pd.DataFrame:
