@@ -1,38 +1,78 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship Generator top-N selection over the derived
+frontier at sf0.001; ``queries``/``oracle_sql`` expose one entry per
+implemented operator family from SURVEY.md §2 (crawl semantics over a
+deterministically derived frontier + the training-data pipeline ops
+over documents/embeddings). A ``crawl_round`` entry runs a real
+SimWeb crawl round end-to-end (politeness applyInPandas engine — not
+SQL-expressible, rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# executors unpickle UDF closures that import warps_nutch_spark
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Generator top-N per host over the derived frontier."""
+    from warps_nutch_spark.queries import q_generate_topn
+
+    return q_generate_topn(spark, "/root/testdata/sf0.001")
+
+
+def _crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full generate->fetch->parse->updatedb round on the SimWeb
+    corpus (scale-independent of sf_dir; politeness engine + Bloom
+    URL-seen + MERGE). Returns per-status counters."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.config import make_test_config
+    from warps_nutch_spark.plans.round import RoundDriver
+    from warps_nutch_spark.simweb import SimWeb
+
+    wd = tempfile.mkdtemp(prefix="wns-entry-")
+    try:
+        web_params = (8, 120, 42)
+        web = SimWeb(*web_params)
+        cfg = make_test_config(top_n=400, max_per_host=80, round_time_limit_ms=600_000)
+        drv = RoundDriver(spark, wd, cfg, web_params)
+        seeds = spark.createDataFrame([(u,) for u in web.seeds(3)], ["value"])
+        drv.run(seeds, rounds=2)
+        out = (
+            drv.store.read()
+            .groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .orderBy("status")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from warps_nutch_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["crawl_round"] = _crawl_round
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from warps_nutch_spark.queries import ORACLES
+
+    return dict(ORACLES)  # crawl_round intentionally omitted (rows-only)

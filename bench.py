@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a crawl-round
+throughput benchmark (the BASELINE.json metric: URLs fetched+updated
+per second per round) on a Zipf-skewed SimWeb frontier.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"fetched": n, "updated": n, "urls_per_sec": x}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# bench-crawl scale: ~120k-page web, 2k hosts, Zipf-skewed (hot host
+# ~12%), 2 rounds. Politeness time is virtual, so wall-clock measures
+# engine work, not sleeps.
+CRAWL_WEB = (
+    int(os.environ.get("WNS_BENCH_HOSTS", "2000")),
+    int(os.environ.get("WNS_BENCH_PAGES_BASE", "60")),
+    42,
+)
+CRAWL_ROUNDS = int(os.environ.get("WNS_BENCH_ROUNDS", "2"))
+
+
+def run_crawl_bench(spark) -> dict:
+    from warps_nutch_spark.config import CrawlConfig
+    from warps_nutch_spark.plans.round import RoundDriver
+    from warps_nutch_spark.simweb import SimWeb
+
+    wd = tempfile.mkdtemp(prefix="wns-bench-")
+    try:
+        web = SimWeb(*CRAWL_WEB)
+        cfg = CrawlConfig(
+            top_n=100_000,
+            max_per_host=200,
+            crawl_delay_ms=1000,
+            round_time_limit_ms=3_600_000,
+            host_buckets=64,
+            bloom_partitions=16,
+            bloom_capacity_per_partition=2_000_000,
+        )
+        drv = RoundDriver(spark, wd, cfg, CRAWL_WEB)
+        seeds = spark.createDataFrame([(u,) for u in web.seeds(4)], ["value"])
+        t0 = time.time()
+        stats = drv.run(seeds, rounds=CRAWL_ROUNDS)
+        elapsed = time.time() - t0
+        fetched = sum(s["fetched"] for s in stats)
+        updated = sum(s["updated"] for s in stats)
+        return {
+            "elapsed_sec": round(elapsed, 2),
+            "rounds": CRAWL_ROUNDS,
+            "fetched": fetched,
+            "updated": updated,
+            "urls_per_sec": round((fetched + updated) / elapsed, 1),
+            "per_round": [
+                {k: (round(v, 2) if isinstance(v, float) else v) for k, v in s.items()}
+                for s in stats
+            ],
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from warps_nutch_spark.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("warps-nutch-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("WNS_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    t0 = time.time()
+    crawl = run_crawl_bench(spark)
+    timings["crawl_round"] = round(time.time() - t0, 3)
+    total = round(time.time() - total0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_plus_updated_per_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

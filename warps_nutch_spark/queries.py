@@ -1,0 +1,819 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB-runnable oracle SQL string.
+
+The crawl operators run over a *derived frontier* built
+deterministically from the ``documents`` table (and an order→lineitem
+link graph for OPIC), so the Spark implementation and the ANSI-SQL
+oracle compute from the same parquet inputs. Column names and types
+are aligned on both sides (driver compares row-count + schema +
+order-insensitive value-hash); doubles are rounded to 6 decimals in
+BOTH engines to absorb float-representation drift.
+
+Dialect parity notes:
+- Spark ``regexp_replace`` replaces all matches; DuckDB needs the 'g'
+  flag — every oracle regex uses it.
+- Spark int casts truncate; DuckDB CAST rounds — oracles use floor().
+- DuckDB has no sha1/xxhash64 — common-ground hashing uses md5 hex
+  strings (order over hex strings is consistent in both engines).
+- Spark arrays via element_at are 1-indexed, same as DuckDB lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .functions import urls
+from .functions.status import PROTOCOL_TO_CRAWL, protocol_to_crawl_col
+from .operators import generate as gen_op
+from .operators.rows import complete_rows, page_category_col
+
+CFG = CrawlConfig(top_n=50, max_per_host=5)
+NOW = 1_700_000_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# derived frontier over documents (same construction in every oracle's
+# WITH frontier AS (...) block)
+# --------------------------------------------------------------------------
+FRONTIER_SQL = """
+frontier AS (
+  SELECT
+    'http://' || source || '.test' ||
+      CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN '/index.html'
+        WHEN 1 THEN '/search?q=x' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN '/media/' || CAST(doc_id AS VARCHAR) || '.jpg'
+        WHEN 3 THEN '/detail/' || CAST(doc_id AS VARCHAR)
+        ELSE '/doc/' || CAST(doc_id AS VARCHAR)
+      END AS url,
+    source || '.test' AS host,
+    CAST(n_chars AS DOUBLE) AS score,
+    CASE WHEN doc_id % 20 = 0 THEN 1001 ELSE 0 END AS priority,
+    doc_id % 4 AS distance,
+    1700000000000 + (doc_id % 100) * 3600000 AS fetch_time,
+    60 + (doc_id % 10) * 3600 AS fetch_interval,
+    doc_id
+  FROM documents
+)
+"""
+
+
+def derived_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(
+            (F.col("doc_id") % 5).cast("int") == 0, F.lit("/index.html")
+        )
+        .when(
+            (F.col("doc_id") % 5).cast("int") == 1,
+            F.concat(F.lit("/search?q=x"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            (F.col("doc_id") % 5).cast("int") == 2,
+            F.concat(F.lit("/media/"), F.col("doc_id").cast("string"), F.lit(".jpg")),
+        )
+        .when(
+            (F.col("doc_id") % 5).cast("int") == 3,
+            F.concat(F.lit("/detail/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")))
+    )
+    return docs.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test"), path).alias("url"),
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        F.col("n_chars").cast("double").alias("score"),
+        F.when(F.col("doc_id") % 20 == 0, F.lit(1001)).otherwise(F.lit(0)).alias("priority"),
+        (F.col("doc_id") % 4).alias("distance"),
+        (F.lit(1_700_000_000_000) + (F.col("doc_id") % 100) * 3_600_000).alias("fetch_time"),
+        (F.lit(60) + (F.col("doc_id") % 10) * 3600).alias("fetch_interval"),
+        F.col("doc_id"),
+    )
+
+
+# ===========================================================================
+# S1/I1/F1-F3: inject — seed-line canonicalization + seed row build
+# ===========================================================================
+def q_inject_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw URL variants (uppercase authority, default port, fragment,
+    dot-segments, session ids) -> canonical seed rows."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.col("source")),
+            F.lit(".TEST:80/a/../doc/./"),
+            F.col("doc_id").cast("string"),
+            F.lit(";jsessionid=ABC123?x=1&&y=2&#frag"),
+        ).alias("raw_url"),
+        F.col("doc_id"),
+    )
+    return raw.select(
+        "doc_id",
+        urls.canonicalize_col(F.col("raw_url")).alias("url"),
+        urls.host_col(urls.canonicalize_col(F.col("raw_url"))).alias("host"),
+    )
+
+
+ORACLE_INJECT_CANONICALIZE = """
+SELECT doc_id,
+  'http://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) || '?x=1&y=2' AS url,
+  source || '.test' AS host
+FROM documents
+"""
+
+
+# ===========================================================================
+# S4 key model: reversed-URL row keys (TableUtil.reverseUrl)
+# ===========================================================================
+def q_url_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    return fr.select(
+        "url", urls.reverse_url_col(F.col("url")).alias("reversed_key")
+    )
+
+
+ORACLE_URL_REVERSE = f"""
+WITH {FRONTIER_SQL}
+SELECT url,
+  array_to_string(list_reverse(string_split(host, '.')), '.')
+    || ':http' || substr(url, 8 + length(host)) AS reversed_key
+FROM frontier
+"""
+
+
+# ===========================================================================
+# P2/P3/P4: generate — top-N per host, best-first, seed exemption
+# ===========================================================================
+def q_generate_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = complete_rows(
+        derived_frontier(spark, sf_dir).drop("fetch_time", "fetch_interval", "doc_id"),
+        CFG,
+        NOW,
+    )
+    out = gen_op.generate(fr, CFG, NOW, "b1")
+    # frontier stores score as float32; n_chars < 2^24 so the cast back
+    # to double is exact and matches the oracle's DOUBLE
+    return out.select(
+        "url",
+        "host",
+        F.col("priority").cast("bigint").alias("priority"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+ORACLE_GENERATE_TOPN = f"""
+WITH {FRONTIER_SQL},
+ranked AS (
+  SELECT url, host, CAST(priority AS BIGINT) AS priority, score,
+         row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, score DESC, url ASC) AS rk
+  FROM frontier
+),
+capped AS (SELECT * FROM ranked WHERE rk <= {CFG.max_per_host})
+SELECT url, host, priority, score FROM capped WHERE priority >= 1000
+UNION ALL
+SELECT url, host, priority, score FROM (
+  SELECT * FROM capped WHERE priority < 1000
+  ORDER BY priority DESC, score DESC, url ASC LIMIT {CFG.top_n}
+)
+"""
+
+
+# ===========================================================================
+# S9/S10: host stats (WebTableReader + HostDb aggregation)
+# ===========================================================================
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    return fr.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.max("score").alias("max_score"),
+        F.min("distance").alias("min_distance"),
+    )
+
+
+ORACLE_HOST_STATS = f"""
+WITH {FRONTIER_SQL}
+SELECT host, count(*) AS n_pages, round(avg(score), 6) AS avg_score,
+       max(score) AS max_score, min(distance) AS min_distance
+FROM frontier GROUP BY host
+"""
+
+
+# ===========================================================================
+# F7: page-category classifier (CrawlFilter.sniffPageCategoryByUrlPattern)
+# ===========================================================================
+def q_page_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    return (
+        fr.withColumn("page_category", page_category_col(F.col("url")))
+        .groupBy("page_category")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_PAGE_CATEGORY = f"""
+WITH {FRONTIER_SQL},
+cat AS (
+  SELECT CASE
+    WHEN regexp_matches(url, '://[^/]+/?$')
+      OR regexp_matches(url, '/(index|default)[^/]*$') THEN 'INDEX'
+    WHEN regexp_matches(url, '/search([/?#]|$)')
+      OR regexp_matches(url, '[?&](q|query|s|search)=') THEN 'SEARCH'
+    WHEN regexp_matches(url, '/media/')
+      OR regexp_matches(url, '\\.(jpg|jpeg|png|gif|mp4|webm)$') THEN 'MEDIA'
+    WHEN regexp_matches(url, '/detail/')
+      OR regexp_matches(url, '/[a-z]+/\\d+([/.?#]|$)') THEN 'DETAIL'
+    ELSE 'UNKNOWN' END AS page_category
+  FROM frontier
+)
+SELECT page_category, count(*) AS n FROM cat GROUP BY page_category
+"""
+
+
+# ===========================================================================
+# F8: shouldFetch eligibility with over-horizon clamp
+# ===========================================================================
+def q_should_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.schedules import should_fetch_col
+
+    fr = derived_frontier(spark, sf_dir)
+    now = NOW + 50 * 3_600_000
+    return fr.filter(
+        should_fetch_col(F.col("fetch_time"), F.col("fetch_interval"), now, CFG)
+    ).select("url", "fetch_time")
+
+
+ORACLE_SHOULD_FETCH = f"""
+WITH {FRONTIER_SQL}
+SELECT url, fetch_time FROM frontier
+WHERE fetch_time - {NOW + 50 * 3_600_000} > {CFG.max_fetch_interval_sec * 1000}
+   OR fetch_time <= {NOW + 50 * 3_600_000}
+"""
+
+
+# ===========================================================================
+# R1/R2: OPIC outlink explode + cash distribution (orders -> lineitem)
+# ===========================================================================
+def q_opic_distribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    edges = (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn("n_links", F.count("*").over(Window.partitionBy("l_orderkey")))
+    )
+    joined = edges.join(
+        orders.select("o_orderkey", "o_totalprice"),
+        edges.l_orderkey == orders.o_orderkey,
+    )
+    contrib = (F.col("n_links") - F.col("pos")).cast("double") + F.col(
+        "o_totalprice"
+    ) / F.col("n_links").cast("double")
+    return joined.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.round(contrib, 6).alias("contribution"),
+    )
+
+
+ORACLE_OPIC_DISTRIBUTE = """
+WITH edges AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS pos,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_links
+  FROM lineitem
+)
+SELECT e.l_orderkey, e.l_partkey, e.l_suppkey, e.l_linenumber,
+       round((e.n_links - e.pos) + o.o_totalprice / e.n_links, 6) AS contribution
+FROM edges e JOIN orders o ON e.l_orderkey = o.o_orderkey
+"""
+
+
+# ===========================================================================
+# R3/R4/R5: group-by-URL score aggregation with inlink cap
+# ===========================================================================
+def q_opic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    contribs = q_opic_distribute(spark, sf_dir).withColumn(
+        "inlink_distance", (F.col("l_orderkey") % 3 + 1).cast("bigint")
+    )
+    win = Window.partitionBy("l_partkey").orderBy(
+        F.desc("contribution"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+        F.asc("l_suppkey"),
+    )
+    capped = contribs.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= 10)
+    return capped.groupBy("l_partkey").agg(
+        F.round(F.sum("contribution"), 4).alias("inlink_sum"),
+        F.count("*").alias("n_inlinks"),
+        F.min("inlink_distance").alias("min_distance"),
+    )
+
+
+ORACLE_OPIC_UPDATE = """
+WITH edges AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS pos,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_links
+  FROM lineitem
+),
+contribs AS (
+  SELECT e.l_orderkey, e.l_partkey, e.l_suppkey, e.l_linenumber,
+         round((e.n_links - e.pos) + o.o_totalprice / e.n_links, 6) AS contribution,
+         e.l_orderkey % 3 + 1 AS inlink_distance
+  FROM edges e JOIN orders o ON e.l_orderkey = o.o_orderkey
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+      ORDER BY contribution DESC, l_orderkey ASC, l_linenumber ASC, l_suppkey ASC) AS rk
+  FROM contribs
+)
+SELECT l_partkey, round(sum(contribution), 4) AS inlink_sum,
+       count(*) AS n_inlinks, min(inlink_distance) AS min_distance
+FROM capped WHERE rk <= 10 GROUP BY l_partkey
+"""
+
+
+# ===========================================================================
+# R9: adaptive fetch schedule as column math
+# ===========================================================================
+def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.schedules import adaptive_schedule_cols
+
+    fr = derived_frontier(spark, sf_dir).withColumn(
+        "state", (F.col("doc_id") % 3).cast("int")
+    ).withColumn(
+        "modified_time", F.col("fetch_time") - (F.col("doc_id") % 5) * 2_000_000
+    )
+    ft, iv = adaptive_schedule_cols(
+        F.col("fetch_time"),
+        F.col("modified_time"),
+        F.col("fetch_interval"),
+        F.col("state"),
+        CFG,
+    )
+    return fr.select(
+        "url",
+        ft.cast("bigint").alias("new_fetch_time"),
+        iv.cast("bigint").alias("new_interval"),
+    )
+
+
+ORACLE_ADAPTIVE_SCHEDULE = f"""
+WITH {FRONTIER_SQL},
+st AS (
+  SELECT url, fetch_time, fetch_interval,
+         CAST(doc_id % 3 AS INTEGER) AS state,
+         fetch_time - (doc_id % 5) * 2000000 AS modified_time
+  FROM frontier
+),
+adapted AS (
+  SELECT url, fetch_time, modified_time,
+    CASE state
+      WHEN 1 THEN CAST(floor(fetch_interval * 0.8) AS BIGINT)
+      WHEN 2 THEN CAST(floor(fetch_interval * 1.2) AS BIGINT)
+      ELSE fetch_interval END AS iv0
+  FROM st
+),
+clamped AS (
+  SELECT url, fetch_time, modified_time,
+    greatest(CAST({CFG.adaptive_min_interval_sec} AS BIGINT),
+      least(CAST({CFG.adaptive_max_interval_sec} AS BIGINT), iv0)) AS iv1,
+    CAST(floor((fetch_time - modified_time) / 1000) AS BIGINT) AS delta_sec
+  FROM adapted
+),
+synced AS (
+  SELECT url,
+    greatest(CAST({CFG.adaptive_min_interval_sec} AS BIGINT),
+      least(CAST({CFG.adaptive_max_interval_sec} AS BIGINT),
+            greatest(iv1, delta_sec))) AS new_interval,
+    fetch_time - CAST(round(delta_sec * 0.2) AS BIGINT) * 1000 AS refetch
+  FROM clamped
+)
+SELECT url, refetch + new_interval * 1000 AS new_fetch_time, new_interval
+FROM synced
+"""
+
+
+# ===========================================================================
+# Q8/R11: protocol->crawl status dispatch + counters (over events)
+# ===========================================================================
+def q_status_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    proto = (
+        F.when(F.col("value") < 2, F.lit(14))  # NOTFOUND
+        .when(F.col("value") < 5, F.lit(12))  # MOVED
+        .when(F.col("value") < 8, F.lit(13))  # TEMP_MOVED
+        .when(F.col("value") < 12, F.lit(16))  # EXCEPTION
+        .when(F.col("value") < 15, F.lit(21))  # NOTMODIFIED
+        .otherwise(F.lit(1))  # SUCCESS
+    )
+    return (
+        ev.withColumn("crawl_status", protocol_to_crawl_col(proto).cast("bigint"))
+        .groupBy("crawl_status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _dispatch_case_sql() -> str:
+    whens = "\n".join(
+        f"      WHEN {p} THEN {c}" for p, c in PROTOCOL_TO_CRAWL.items()
+    )
+    return f"CASE proto\n{whens}\n      ELSE 34 END"
+
+
+ORACLE_STATUS_COUNTERS = f"""
+WITH proto_map AS (
+  SELECT CASE
+    WHEN value < 2 THEN 14 WHEN value < 5 THEN 12 WHEN value < 8 THEN 13
+    WHEN value < 12 THEN 16 WHEN value < 15 THEN 21 ELSE 1 END AS proto
+  FROM events
+)
+SELECT CAST({_dispatch_case_sql()} AS BIGINT) AS crawl_status, count(*) AS n
+FROM proto_map GROUP BY 1
+"""
+
+
+# ===========================================================================
+# R6/S6: URL-seen dedup — candidates anti-joined against the frontier
+# ===========================================================================
+def q_urlseen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir).select("url")
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.select(
+        F.concat(
+            F.lit("http://src"),
+            (F.col("l_partkey") % 19 + 1).cast("string"),
+            F.lit(".test/doc/"),
+            (F.col("l_partkey") % 1000).cast("string"),
+        ).alias("url")
+    )
+    agg = cand.groupBy("url").agg(F.count("*").alias("n_refs"))
+    return agg.join(fr, on="url", how="left_anti")
+
+
+ORACLE_URLSEEN_ANTIJOIN = f"""
+WITH {FRONTIER_SQL},
+cand AS (
+  SELECT 'http://src' || CAST(l_partkey % 19 + 1 AS VARCHAR) || '.test/doc/'
+         || CAST(l_partkey % 1000 AS VARCHAR) AS url,
+         count(*) AS n_refs
+  FROM lineitem GROUP BY 1
+)
+SELECT c.url, c.n_refs FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM frontier f WHERE f.url = c.url)
+"""
+
+
+# ===========================================================================
+# Training-data ops: documents / embeddings
+# ===========================================================================
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("sig")).agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS sig, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over 3-gram shingles, 4 hashes, 2 bands -> candidate
+    pairs per shared band bucket (the standard shingle->minhash->band->
+    bucket-join pipeline, fully shuffle-expressed)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    docs = docs.filter(F.size("t") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-2),"
+                " i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',element_at(t,i+2)))"
+            )
+        ).alias("shingle"),
+    )
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(4)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
+    ).unionByName(
+        mh.select("doc_id", F.lit(1).alias("band"), F.concat("h2", "h3").alias("key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+ORACLE_DEDUP_MINHASH_LSH = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+mh AS (
+  SELECT doc_id,
+    min(md5(shingle || ':0')) h0, min(md5(shingle || ':1')) h1,
+    min(md5(shingle || ':2')) h2, min(md5(shingle || ':3')) h3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    ).cast("bigint")
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_span"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS distinct_token_ratio,
+  round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_span
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language heuristic (counts via length-replace)."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def hits(word):
+        pat = f" {word} "
+        return (
+            (F.length(padded) - F.length(F.regexp_replace(padded, pat, "")))
+            / len(pat)
+        ).cast("bigint")
+
+    en = hits("the") + hits("and") + hits("of") + hits("value") + hits("table")
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        F.when(en > 0, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+ORACLE_LANGID = """
+WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST((length(t) - length(regexp_replace(t, ' the ', '', 'g'))) / 5
+       + (length(t) - length(regexp_replace(t, ' and ', '', 'g'))) / 5
+       + (length(t) - length(regexp_replace(t, ' of ', '', 'g'))) / 4
+       + (length(t) - length(regexp_replace(t, ' value ', '', 'g'))) / 7
+       + (length(t) - length(regexp_replace(t, ' table ', '', 'g'))) / 7
+      AS BIGINT) AS en_hits
+  FROM p
+)
+SELECT doc_id, en_hits,
+  CASE WHEN en_hits > 0 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM h
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector —
+    the exact baseline for ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    return (
+        joined.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(e.embedding, q.qe), 6) AS cosine
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: hyperplanes = embeddings 1..4; bucket =
+    sign pattern of dot products (the scale path for ANN: bucket-join
+    instead of brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
+    )
+    joined = emb.crossJoin(F.broadcast(planes))
+    dot = F.aggregate(
+        F.zip_with("embedding", "pe", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = joined.select(
+        "vec_id",
+        "plane_id",
+        F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    buckets = bits.groupBy("vec_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("plane_id"), F.col("bit")))
+                ),
+                lambda s: s.getField("bit"),
+            ),
+        ).alias("bucket")
+    )
+    return buckets.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+ORACLE_EMBEDDING_LSH_BUCKETS = """
+WITH planes AS (
+  SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
+  WHERE vec_id IN (1, 2, 3, 4)
+),
+bits AS (
+  SELECT e.vec_id, p.plane_id,
+    CASE WHEN list_dot_product(e.embedding, p.pe) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+  FROM bits GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
+"""
+
+
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine > 0.2 within a label —
+    threshold chosen to yield a non-trivial, bounded pair set)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
+    return joined.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") > 0.2)
+
+
+ORACLE_EMBEDDING_COSINE_DEDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) > 0.2
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+QUERIES = {
+    "inject_canonicalize": q_inject_canonicalize,
+    "url_reverse": q_url_reverse,
+    "generate_topn": q_generate_topn,
+    "host_stats": q_host_stats,
+    "page_category": q_page_category,
+    "should_fetch": q_should_fetch,
+    "opic_distribute": q_opic_distribute,
+    "opic_update": q_opic_update,
+    "adaptive_schedule": q_adaptive_schedule,
+    "status_counters": q_status_counters,
+    "urlseen_antijoin": q_urlseen_antijoin,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "langid": q_langid,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_cosine_dedup": q_embedding_cosine_dedup,
+}
+
+ORACLES = {
+    "inject_canonicalize": ORACLE_INJECT_CANONICALIZE,
+    "url_reverse": ORACLE_URL_REVERSE,
+    "generate_topn": ORACLE_GENERATE_TOPN,
+    "host_stats": ORACLE_HOST_STATS,
+    "page_category": ORACLE_PAGE_CATEGORY,
+    "should_fetch": ORACLE_SHOULD_FETCH,
+    "opic_distribute": ORACLE_OPIC_DISTRIBUTE,
+    "opic_update": ORACLE_OPIC_UPDATE,
+    "adaptive_schedule": ORACLE_ADAPTIVE_SCHEDULE,
+    "status_counters": ORACLE_STATUS_COUNTERS,
+    "urlseen_antijoin": ORACLE_URLSEEN_ANTIJOIN,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "langid": ORACLE_LANGID,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "embedding_lsh_buckets": ORACLE_EMBEDDING_LSH_BUCKETS,
+    "embedding_cosine_dedup": ORACLE_EMBEDDING_COSINE_DEDUP,
+}
