@@ -172,7 +172,6 @@ def test_kill_and_resume_identical_state(spark, tmp_path_factory):
         drv_b.store.read(), cfg, drv_b.round_now(1), batch, drv_b.unreachable_hosts()
     )
     fl = drv_b._write_stage(fl, batch, "generate")
-    drv_b.store.merge(fl.select(*drv_b.store.read().columns))
     drv_b._mark_done(batch, "generate")
     # (no fetch/parse/updatedb — simulate kill here)
 

@@ -84,6 +84,20 @@ def decode_caption(data: bytes) -> str | None:
     return cap or None
 
 
+def decode_full(data: bytes) -> tuple[np.ndarray, str | None, int, int, str]:
+    """One-pass decode: (pixels, caption, w, h, fmt) with a single
+    zlib decompression (the hot path for the parse stage)."""
+    (_, _, mode, w, h, channels, _), raw, tail = _split(data)
+    px = raw.reshape(h, w, channels)
+    if mode == MODE_LOSSY:
+        px = np.minimum(px.astype(np.uint16) * 8 + 4, 255).astype(np.uint8)
+    cap = None
+    if len(tail) >= 4:
+        (n,) = struct.unpack_from("<I", tail)
+        cap = tail[4 : 4 + n].decode("utf-8") or None
+    return px, cap, w, h, ("png" if mode == MODE_LOSSLESS else "jpeg")
+
+
 def image_dims(data: bytes) -> tuple[int, int, str]:
     """(w, h, fmt) from the header without decoding the payload."""
     magic, ver, mode, w, h, _, _ = _HEADER.unpack_from(data)

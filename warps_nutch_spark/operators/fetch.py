@@ -167,12 +167,15 @@ def _make_fetch_group(cfg: CrawlConfig, web_params: tuple, round_start_ms: int):
         )
         new_status[~fetched] = pdf["status"].to_numpy()[~fetched]
 
-        # payload bytes for successful fetches
+        # payload bytes for successful fetches (batch-rendered)
         blobs: list[bytes | None] = [None] * n
         outs: list[list[str] | None] = [None] * n
         ok = fetched & (proto == ProtocolStatus.SUCCESS) & valid
-        for i in np.nonzero(ok)[0]:
-            blobs[i] = web.render_payload(int(hi[i]), int(j[i]))
+        ok_idx = np.nonzero(ok)[0]
+        if len(ok_idx):
+            rendered = web.render_payload_batch(hi[ok_idx], j[ok_idx])
+            for k, i in enumerate(ok_idx):
+                blobs[i] = rendered[k]
         if ok.any():
             ol = web.outlinks_of(hi[ok], j[ok])
             for k, i in enumerate(np.nonzero(ok)[0]):

@@ -61,9 +61,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if blob is None:
                 continue
             try:
-                px = codec.decode_image(bytes(blob))
-                cap = codec.decode_caption(bytes(blob))
-                w, h, fmt = codec.image_dims(bytes(blob))
+                px, cap, w, h, fmt = codec.decode_full(bytes(blob))
             except Exception:
                 continue  # truncated/corrupt content (F12 analog)
             caption[i] = cap
@@ -95,9 +93,11 @@ def parse(
         (F.col("batch_id") == batch_id) & F.col("fetched")
     )
     # distribute decode evenly: payload stage may salt within host
-    # (politeness no longer applies after fetch)
+    # (politeness no longer applies after fetch); explicit partition
+    # count so AQE's byte-based view can't serialize the Python stage
+    n_parts = max(cfg.salt_factor * 16, 32)
     gated = gated.repartition(
-        F.xxhash64("url_hash", F.lit(cfg.partition_seed)) % (cfg.salt_factor * 16)
+        n_parts, F.xxhash64("url_hash", F.lit(cfg.partition_seed))
     )
     schema = T.StructType(list(gated.schema.fields) + PARSE_FIELDS)
     decoded = gated.mapInPandas(_decode_batches, schema=schema)

@@ -197,7 +197,10 @@ def updatedb(
     frontier-schema rows: updated fetched pages + updated existing
     link targets + newly discovered rows."""
     contribs = explode_contributions(parsed, cfg)
-    agg = aggregate_contributions(contribs, cfg)
+    # agg feeds three consumers (existing-row update, new-row insert,
+    # fetched-row inlink fold) — persist so the explode+groupBy shuffle
+    # runs once, not per branch
+    agg = aggregate_contributions(contribs, cfg).persist()
 
     fetched_updates = updated_fetched_rows(parsed, cfg, now_ms, batch_id)
 
@@ -229,9 +232,10 @@ def updatedb(
     if cfg.additions_allowed:
         cand = agg
         if urlseen is not None:
+            # persisted: both union branches below read it
             screened = urlseen.maybe_seen(
                 agg.withColumnRenamed("to_url_hash", "url_hash"), "url_hash"
-            )
+            ).persist()
             cand = screened.filter(~F.col("maybe_seen")).drop("maybe_seen").unionByName(
                 screened.filter(F.col("maybe_seen"))
                 .drop("maybe_seen")

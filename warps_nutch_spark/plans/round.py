@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +41,22 @@ from ..operators import parse as parse_op
 from ..operators import updatedb as upd_op
 from ..store.frontier import ParquetFrontierStore
 from ..store.urlseen import BloomUrlSeen
+
+
+@contextmanager
+def python_stage_parallelism(spark: SparkSession):
+    """AQE coalesces shuffles by BYTES, which serializes Python-heavy
+    group stages (a 25k-row fetchlist is a few MB -> 2 tasks -> 2000
+    sequential politeness groups). Around pandas-UDF stage actions we
+    pin partition-coalescing off so parallelism follows cores, not
+    bytes; byte-based coalescing stays on for the JVM-side stages."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 class RoundDriver:
@@ -150,25 +167,31 @@ class RoundDriver:
         batch_id = f"batch-{r:04d}"
         now = self.round_now(r)
         t0 = time.time()
+        stage_times: dict[str, float] = {}
 
         # -- generate ----------------------------------------------------
         if not self._done(batch_id, "generate"):
             fl = gen_op.generate(
                 self.store.read(), self.cfg, now, batch_id, self.unreachable_hosts()
             )
-            fl = self._write_stage(fl, batch_id, "generate")
-            # persist the GENERATE_MARK on the frontier (resume guard F13)
-            marks = fl.select(*self.store.read().columns)
-            self.store.merge(marks, {"op": "generate", "batch_id": batch_id})
-            self._mark_done(batch_id, "generate", {"rows": fl.count()})
+            # The GENERATE_MARK lives in the fetchlist artifact until
+            # updatedb folds it into the single per-round MERGE (one
+            # frontier rewrite per round instead of two; intra-round
+            # resume is covered by the artifact + _DONE marker, the
+            # F13 guard semantics are unchanged for the next round).
+            self._write_stage(fl, batch_id, "generate")
+            self._mark_done(batch_id, "generate")
+        stage_times["generate"] = time.time() - t0
         fetchlist = self._read_stage(batch_id, "generate")
 
         # -- fetch ---------------------------------------------------------
+        t_f = time.time()
         if not self._done(batch_id, "fetch"):
             res = fetch_op.fetch(
                 fetchlist, self._robots_df(), self.cfg, now, batch_id, self.web_params
             )
-            res = self._write_stage(res, batch_id, "fetch")
+            with python_stage_parallelism(self.spark):
+                res = self._write_stage(res, batch_id, "fetch")
             self._update_host_failures(res, batch_id)
             self._append_metrics(
                 res.filter(F.col("fetched"))
@@ -182,39 +205,61 @@ class RoundDriver:
                 )
             )
             self._mark_done(batch_id, "fetch")
+        stage_times["fetch"] = time.time() - t_f
         fetch_results = self._read_stage(batch_id, "fetch")
 
         # -- parse -----------------------------------------------------------
+        t_p = time.time()
         if not self._done(batch_id, "parse"):
             parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
-            parsed = self._write_stage(parsed, batch_id, "parse")
+            with python_stage_parallelism(self.spark):
+                parsed = self._write_stage(parsed, batch_id, "parse")
             payloads = parse_op.payload_rows(parsed)
             payloads.write.mode("append").parquet(os.path.join(self.workdir, "payloads"))
             self._mark_done(batch_id, "parse")
+        stage_times["parse"] = time.time() - t_p
         parsed = self._read_stage(batch_id, "parse")
 
         # -- updatedb ----------------------------------------------------------
+        t_u = time.time()
         if not self._done(batch_id, "updatedb"):
+            frontier = self.store.read()
             merge_rows, counters = upd_op.updatedb(
-                self.store.read(), parsed, self.cfg, now, batch_id, self.urlseen
+                frontier, parsed, self.cfg, now, batch_id, self.urlseen
             )
-            merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
+            # budget-dropped fetchlist rows keep their GENERATE_MARK
+            # (FeederThread drain semantics): fold them into the same
+            # merge so the frontier is rewritten once per round.
+            # persist: the anti-join below reuses the merge plan.
+            merge_rows = merge_rows.persist()
+            dropped = fetchlist.select(*frontier.columns).join(
+                merge_rows.select("url_hash"), on="url_hash", how="left_anti"
+            )
+            merge_rows = merge_rows.unionByName(dropped.select(*merge_rows.columns))
+            with python_stage_parallelism(self.spark):
+                merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
             self.store.merge(merge_rows, {"op": "updatedb", "batch_id": batch_id})
             self.urlseen.merge_round(
                 merge_rows.select("url_hash"), "url_hash", batch_id
             )
             self._append_metrics(counters)
             self._mark_done(batch_id, "updatedb")
+        stage_times["updatedb"] = time.time() - t_u
 
         elapsed = time.time() - t0
         fetched = fetch_results.filter(F.col("fetched")).count()
-        updated = self._read_stage(batch_id, "updatedb").count()
+        updated = (
+            self._read_stage(batch_id, "updatedb")
+            .filter(F.col("updated_batch") == batch_id)
+            .count()
+        )
         return {
             "batch_id": batch_id,
             "elapsed_sec": elapsed,
             "fetched": fetched,
             "updated": updated,
             "throughput_rows_per_sec": (fetched + updated) / elapsed if elapsed else 0.0,
+            "stage_sec": {k: round(v, 2) for k, v in stage_times.items()},
         }
 
     def _robots_df(self) -> DataFrame:

@@ -189,16 +189,22 @@ class SimWeb:
         ).to_numpy(object)
 
     def render_payload(self, hi: int, j: int) -> bytes:
-        """Encode the page's image bytes + embedded caption (called
-        from the fetch UDF — the caption is parse-extractable content,
-        not metadata)."""
-        hi_a, j_a = np.array([hi]), np.array([j])
-        seed = int(self.payload_seed(hi_a, j_a)[0])
-        w, h = self.image_dims(hi_a, j_a)
-        fmt = str(self.image_fmt(hi_a, j_a)[0])
-        caption = str(self.caption(hi_a, j_a)[0])
-        px = codec.synth_pixels(seed, int(w[0]), int(h[0]))
-        return codec.encode_image(px, fmt, caption=caption)
+        """Encode one page's image bytes + embedded caption."""
+        return self.render_payload_batch(np.array([hi]), np.array([j]))[0]
+
+    def render_payload_batch(self, hi: np.ndarray, j: np.ndarray) -> list[bytes]:
+        """Vectorized payload rendering: all per-page attributes are
+        computed in numpy batches; only pixel synthesis + zlib encode
+        loop per image (each image has its own seed/dims)."""
+        seeds = self.payload_seed(hi, j)
+        w, h = self.image_dims(hi, j)
+        fmts = self.image_fmt(hi, j)
+        captions = self.caption(hi, j)
+        out = []
+        for k in range(len(hi)):
+            px = codec.synth_pixels(int(seeds[k]), int(w[k]), int(h[k]))
+            out.append(codec.encode_image(px, str(fmts[k]), caption=str(captions[k])))
+        return out
 
     # -- enumeration (for seeds and oracle checks) ----------------------
     def all_urls(self) -> pd.DataFrame:

@@ -117,11 +117,12 @@ class BloomUrlSeen:
             idx = _indices(pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), k, m)
             bits = np.zeros(m, dtype=bool)
             bits[idx.ravel()] = True
+            packed = np.packbits(bits)
             f = os.path.join(path, f"pid={pid}.npy")
             if os.path.exists(f):
-                bits |= np.unpackbits(np.load(f))[:m].astype(bool)
+                packed |= np.load(f)  # OR in packed form, no unpack
             tmp = f"{f}.{os.getpid()}.tmp.npy"
-            np.save(tmp, np.packbits(bits))
+            np.save(tmp, packed)
             os.replace(tmp, f)
             return pd.DataFrame({"pid": [pid], "n": [len(pdf)]})
 
@@ -148,7 +149,11 @@ class BloomUrlSeen:
         path, m, k, parts = self.path, self.m, self.k, self.partitions
 
         def lookup(batches):
-            cache: dict[int, np.ndarray] = {}
+            # one task == one pid (repartitioned below): a single
+            # bitmap load per task, kept PACKED — probe via bit ops,
+            # never np.unpackbits (19M-bool expansion per load was the
+            # dominant updatedb cost before this)
+            cache: dict[int, np.ndarray | None] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     yield pdf.assign(maybe_seen=pd.Series([], dtype=bool))
@@ -158,20 +163,21 @@ class BloomUrlSeen:
                 h1 = pdf["h1"].to_numpy()
                 h2 = pdf["h2"].to_numpy()
                 for pid in np.unique(pids):
-                    f = os.path.join(path, f"pid={int(pid)}.npy")
-                    if int(pid) not in cache:
-                        cache[int(pid)] = (
-                            np.unpackbits(np.load(f))[:m].astype(bool)
-                            if os.path.exists(f)
-                            else np.zeros(m, dtype=bool)
-                        )
-                    bits = cache[int(pid)]
+                    p = int(pid)
+                    if p not in cache:
+                        f = os.path.join(path, f"pid={p}.npy")
+                        cache[p] = np.load(f) if os.path.exists(f) else None
+                    packed = cache[p]
                     sel = pids == pid
+                    if packed is None:
+                        continue  # empty filter -> definitely unseen
                     idx = _indices(h1[sel], h2[sel], k, m)
-                    out[sel] = bits[idx].all(axis=1)
+                    bits = (packed[idx >> 3] >> (7 - (idx & 7))) & 1
+                    out[sel] = bits.all(axis=1).astype(bool)
                 yield pdf.assign(maybe_seen=out)
 
         probed = _probe_cols(df, key, parts)
+        probed = probed.repartition(parts, F.col("pid"))
         schema = T.StructType(
             probed.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
         )
