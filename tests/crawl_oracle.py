@@ -84,15 +84,24 @@ class CrawlOracle:
         return set(self.frontier)
 
     # -- one round ---------------------------------------------------------
-    def generate(self, now):
+    def generate(self, now, current_round=None):
         cfg = self.cfg
         unreachable = {
             h for h, n in self.host_failures.items() if n >= cfg.max_host_failures
         }
+
+        def mark_ok(r):
+            if r.generated_batch is None:
+                return True
+            if current_round is None:
+                return False
+            # F9 stale-mark escape (mirrors operators/generate.py)
+            return current_round - int(r.generated_batch[-4:]) >= cfg.regen_rounds
+
         cands = [
             r
             for r in self.frontier.values()
-            if r.generated_batch is None
+            if mark_ok(r)
             and r.host not in unreachable
             and (
                 r.fetch_time <= now
@@ -115,7 +124,7 @@ class CrawlOracle:
         cfg = self.cfg
         now = self.start_ms + r_idx * cfg.round_time_limit_ms
         batch = f"batch-{r_idx:04d}"
-        fetchlist = self.generate(now)
+        fetchlist = self.generate(now, current_round=r_idx)
         for r in fetchlist:
             r.generated_batch = batch
 

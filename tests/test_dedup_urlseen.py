@@ -1,0 +1,74 @@
+"""Dedup operators (simhash, jaccard) + Bloom URL-seen unit tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from warps_nutch_spark.operators import dedup
+from warps_nutch_spark.store.urlseen import BloomUrlSeen
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different text about spark shuffles and joins"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_simhash_near_dups_are_close(spark):
+    out = dedup.simhash_bits(_docs(spark)).toPandas().set_index("doc_id")
+    b1, b2, b3, b4 = (out.loc[i, "simhash_bits"] for i in (1, 2, 3, 4))
+    assert len(b1) == 64 and set(b1) <= {"0", "1"}
+    assert b1 == b4  # exact dup -> identical simhash
+    ham12 = sum(a != b for a, b in zip(b1, b2))
+    ham13 = sum(a != b for a, b in zip(b1, b3))
+    assert ham12 < ham13  # near-dup closer than unrelated
+
+
+def test_jaccard_pairs(spark):
+    docs = _docs(spark)
+    cands = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    )
+    out = dedup.jaccard_pairs(docs, cands).toPandas().set_index(["doc_a", "doc_b"])
+    # docs 1/2 share 6 of 7 distinct 3-gram shingles each -> j = 6/8
+    assert out.loc[(1, 2), "jaccard"] == pytest.approx(6 / 8)
+    assert (1, 3) not in out.index  # zero overlap filtered (j > 0)
+
+
+def test_bloom_pre_screen_no_false_negatives(spark, workdir):
+    bloom = BloomUrlSeen(f"{workdir}/bloom", partitions=4,
+                         capacity_per_partition=10_000, fp_rate=0.01)
+    seen = spark.createDataFrame(
+        pd.DataFrame({"k": [f"hash-{i:05d}" for i in range(2000)]})
+    )
+    bloom.merge_round(seen.select(F.col("k")), "k", "r0")
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [f"hash-{i:05d}" for i in range(1500, 3000)]})
+    )
+    out = bloom.maybe_seen(probe, "k").toPandas().set_index("k")
+    known = [f"hash-{i:05d}" for i in range(1500, 2000)]
+    unknown = [f"hash-{i:05d}" for i in range(2000, 3000)]
+    # Bloom guarantee: NO false negatives for merged keys
+    assert out.loc[known, "maybe_seen"].all()
+    # false-positive rate within ~5x of configured 1%
+    fp = out.loc[unknown, "maybe_seen"].mean()
+    assert fp < 0.05
+    man = bloom.manifest()
+    assert man["items"] == 2000 and man["rounds"][0]["batch_id"] == "r0"
+
+
+def test_bloom_incremental_merge(spark, workdir):
+    bloom = BloomUrlSeen(f"{workdir}/bloom2", partitions=2,
+                         capacity_per_partition=1_000, fp_rate=0.01)
+    a = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": ["c"]}))
+    bloom.merge_round(a, "k", "r0")
+    bloom.merge_round(b, "k", "r1")
+    probe = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c"]}))
+    out = bloom.maybe_seen(probe, "k").toPandas()
+    assert out.maybe_seen.all()
+    assert len(bloom.manifest()["rounds"]) == 2

@@ -1,0 +1,111 @@
+"""Multimodal binary-column operators + Structured Streaming ingest."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from warps_nutch_spark.config import make_test_config
+from warps_nutch_spark.functions import codec
+from warps_nutch_spark.operators import multimodal as mm
+from warps_nutch_spark.store.frontier import ParquetFrontierStore
+
+
+def _payload_df(spark, n=6):
+    rows = []
+    for i in range(n):
+        px = codec.synth_pixels(i, 20 + i, 16 + i)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rows.append(
+            {
+                "image_id": f"img-{i}",
+                "bytes": codec.encode_image(px, fmt, caption=f"cap {i}"),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_image_features_real_decode(spark):
+    df = _payload_df(spark)
+    out = mm.image_features(df).toPandas().set_index("image_id")
+    for i in range(6):
+        row = out.loc[f"img-{i}"]
+        assert row["mm_ok"]
+        assert (row["mm_w"], row["mm_h"]) == (20 + i, 16 + i)
+        px = codec.synth_pixels(i, 20 + i, 16 + i)
+        if i % 2 == 0:  # lossless
+            assert row["mm_mean_r"] == pytest.approx(px[..., 0].mean())
+            assert row["mm_phash"] == codec.phash(px)
+
+
+def test_image_features_external_format_stub_gate(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["x"], "bytes": [b"\x89PNG\r\n fake png bytes"]})
+    )
+    with pytest.raises(Exception, match="external image codec|NotImplementedError"):
+        mm.image_features(df, allow_stub=False).collect()
+    out = mm.image_features(df, allow_stub=True).toPandas()
+    assert out.mm_ok.iloc[0] and out.mm_fmt.iloc[0] == "stub"
+
+
+def test_resize_images(spark):
+    df = _payload_df(spark, 3)
+    out = mm.resize_images(df, 8, 8).toPandas()
+    for _, row in out.iterrows():
+        px, cap, w, h, fmt = codec.decode_full(bytes(row["resized_bytes"]))
+        assert (w, h) == (8, 8) and px.shape == (8, 8, 3)
+        assert cap == f"cap {row['image_id'].split('-')[1]}"
+
+
+def test_frame_sample_video_is_contract_stub(spark):
+    df = _payload_df(spark, 1)
+    out = mm.frame_sample_video(df)
+    assert "frame_idx" in out.columns and "frame_bytes" in out.columns
+    with pytest.raises(Exception, match="video decoding unavailable|NotImplementedError"):
+        out.collect()
+
+
+def test_streaming_ingest_dedup_and_merge(spark, workdir):
+    from warps_nutch_spark.streaming import frontier_stream as fs
+
+    cfg = make_test_config()
+    store = ParquetFrontierStore(spark, f"{workdir}/frontier", host_buckets=4)
+    drop = f"{workdir}/drop"
+    os.makedirs(drop)
+    ts = pd.Timestamp("2024-01-01")
+    batch1 = pd.DataFrame(
+        {
+            "url": [
+                "http://a.test/1",
+                "HTTP://A.TEST:80/1",  # same after canonicalization
+                "http://b.test/2#frag",
+                "not a url",
+            ],
+            "discovered_at": [ts] * 4,
+            "from_url": ["s"] * 4,
+            "score_hint": [1.0, 1.0, 2.0, 0.0],
+        }
+    )
+    spark.createDataFrame(batch1).write.mode("append").parquet(drop)
+    fs.run_ingest(spark, drop, store, cfg, 1_700_000_000_000, f"{workdir}/ckpt")
+    rows = {r["url"]: r for r in store.read().collect()}
+    assert set(rows) == {"http://a.test/1", "http://b.test/2"}
+    assert rows["http://b.test/2"]["score"] == 2.0
+    assert rows["http://a.test/1"]["status"] == 1  # UNFETCHED
+
+    # second drop: one known URL (deduped by anti-join), one new
+    batch2 = pd.DataFrame(
+        {
+            "url": ["http://a.test/1", "http://c.test/3"],
+            "discovered_at": [ts + pd.Timedelta(minutes=1)] * 2,
+            "from_url": ["s"] * 2,
+            "score_hint": [9.0, 3.0],
+        }
+    )
+    spark.createDataFrame(batch2).write.mode("append").parquet(drop)
+    fs.run_ingest(spark, drop, store, cfg, 1_700_000_000_000, f"{workdir}/ckpt")
+    rows = {r["url"]: r for r in store.read().collect()}
+    assert set(rows) == {"http://a.test/1", "http://b.test/2", "http://c.test/3"}
+    assert rows["http://a.test/1"]["score"] == 1.0  # existing row untouched

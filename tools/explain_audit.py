@@ -1,0 +1,127 @@
+"""Plan audit: .explain("formatted") for the key operators, with
+automated checks that the plans have the shape we want at scale:
+
+- parquet scans carry PushedFilters / pruned ReadSchema,
+- column logic sits inside WholeStageCodegen spans,
+- the generate path contains no global Sort (TakeOrderedAndProject),
+- broadcast joins where a small side exists.
+
+Run: PYTHONPATH=. python tools/explain_audit.py [sf_dir]
+Writes PLANS.md with the formatted plans + audit verdicts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + os.environ.get("PYTHONPATH", "")
+    )
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.queries import (
+        CFG,
+        NOW,
+        derived_frontier,
+        q_generate_topn,
+        q_opic_update,
+        q_urlseen_antijoin,
+        q_embedding_topk,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+    checks = []
+
+    def audit(name, df, want=(), forbid=()):
+        plan = formatted(df)
+        sections.append((name, plan))
+        for token in want:
+            ok = token in plan
+            checks.append((name, f"contains {token}", ok))
+        for token in forbid:
+            ok = token not in plan
+            checks.append((name, f"no {token}", ok))
+
+    # 1. pushdown: a filtered, projected frontier scan
+    fr = derived_frontier(spark, sf_dir)
+    scan = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", "source")
+    )
+    audit(
+        "filtered_projected_scan",
+        scan,
+        want=("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]",
+              "* Filter"),  # '*' prefix = whole-stage codegen node
+    )
+
+    # 2. generate: window per host, NO global Sort for the topN
+    audit(
+        "generate_topn",
+        q_generate_topn(spark, sf_dir),
+        want=("TakeOrderedAndProject", "Window"),
+    )
+
+    # 3. updatedb aggregation path
+    audit("opic_update", q_opic_update(spark, sf_dir), want=("HashAggregate",))  # partial+final hash agg (codegen breaks above Window)
+
+    # 4. URL-seen anti-join
+    audit(
+        "urlseen_antijoin",
+        q_urlseen_antijoin(spark, sf_dir),
+        want=("LeftAnti",),
+    )
+
+    # 5. embedding top-k: broadcast of the query vector
+    audit(
+        "embedding_topk",
+        q_embedding_topk(spark, sf_dir),
+        want=("BroadcastNestedLoopJoin", "TakeOrderedAndProject"),
+    )
+
+    out = ["# PLANS — physical-plan audit\n"]
+    out.append("| plan | check | ok |\n|---|---|---|\n")
+    for name, check, ok in checks:
+        out.append(f"| {name} | {check} | {'✅' if ok else '❌'} |\n")
+    for name, plan in sections:
+        out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.writelines(out)
+    bad = [c for c in checks if not c[2]]
+    for name, check, ok in checks:
+        print(("OK  " if ok else "FAIL") + f" {name}: {check}")
+    print(f"wrote PLANS.md ({len(checks) - len(bad)}/{len(checks)} checks pass)")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,10 @@ class CrawlConfig:
     max_per_host: int = 10_000
     # generate.max.distance (GenerateMapper.java:287-294); -1 = unlimited
     max_distance: int = -1
+    # F9 stale-mark escape: a row still bearing GENERATE_MARK after
+    # this many rounds regenerates anyway (GenerateMapper.java:259-281
+    # re-generates marks older than 1 day; 24 rounds x 1h default)
+    regen_rounds: int = 24
     # detail-page quota: <= 2/3 of topN may be DETAIL pages
     # (GenerateMapper.java:109-110)
     detail_quota_num: int = 2

@@ -1,0 +1,131 @@
+"""Deduplication operators for the training-data pipeline.
+
+All operators are pure DataFrame compositions (no UDFs) so Catalyst
+sees through them and the DuckDB oracles can mirror them exactly:
+
+- exact: md5(text) hash-groupBy (the reference's signature dedup,
+  ``crawl/TextMD5Signature.java:42-49`` generalized);
+- minhash-LSH: shingle -> minhash -> band -> bucket-join (implemented
+  in queries.py::q_dedup_minhash_lsh);
+- simhash: 64-bit sign-vote over md5 bits of tokens — expressed as 64
+  generated column expressions (4 bits per md5 hex char), aggregated
+  with sums; returns a 64-char '0'/'1' string so both engines agree
+  without signed-int pitfalls;
+- n-gram Jaccard verify: true Jaccard similarity over 3-gram shingles
+  for LSH candidate pairs (intersection via shingle join);
+- embedding-cosine near-dup: queries.py::q_embedding_cosine_dedup.
+
+Scale shapes: simhash is explode + one wide groupBy (a single
+shuffle); jaccard verification joins only LSH-candidate pairs, never
+the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _hexval(col, pos: int):
+    """Value 0-15 of the pos-th (1-based) hex char of an md5 column."""
+    return F.instr(F.lit(HEX), F.substring(col, pos, 1)) - 1
+
+
+def simhash_bits(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash_bits): 64-bit simhash as a '0'/'1' string.
+
+    bit b (0..63) lives in hex char b//4 (high nibble first); each
+    token votes +1/-1 per bit; majority (sum > 0) sets the bit.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("md5", F.md5("tok"))
+    votes = []
+    for b in range(64):
+        char_pos = b // 4 + 1
+        k = b % 4
+        bit = (_hexval(F.col("md5"), char_pos) / (2 ** (3 - k))).cast("int") % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    agg = h.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(64)]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash_bits"))
+
+
+def simhash_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """The exact DuckDB mirror of :func:`simhash_bits`, generated from
+    the same bit layout."""
+    votes = []
+    for b in range(64):
+        char_pos = b // 4 + 1
+        k = b % 4
+        votes.append(
+            f"sum((CAST(floor((strpos('{HEX}', substr(md5(tok), {char_pos}, 1)) - 1)"
+            f" / {2 ** (3 - k)}) AS INTEGER) % 2) * 2 - 1) AS v{b}"
+        )
+    concat = " || ".join(
+        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok FROM {table}
+),
+filtered AS (SELECT * FROM toks WHERE tok <> ''),
+agg AS (
+  SELECT {id_col}, {', '.join(votes)} FROM filtered GROUP BY {id_col}
+)
+SELECT {id_col}, {concat} AS simhash_bits FROM agg
+"""
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) rows of word n-grams (n=3)."""
+    t = docs.select(F.col(id_col), F.split(text_col, " ").alias("t")).filter(
+        F.size("t") >= n
+    )
+    return t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t)-{n - 1}),"
+                " i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',element_at(t,i+2)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def jaccard_pairs(docs: DataFrame, candidates: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs (doc_a, doc_b):
+    |A ∩ B| / |A ∪ B| over distinct 3-gram shingles. Joins only the
+    candidate pairs — the LSH pre-screen keeps this linear-ish."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # join on (doc, shingle) so the shingle-equality is part of the
+    # join key — no per-pair cross blow-up
+    inter = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            on=["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") > threshold)

@@ -45,10 +45,22 @@ def eligible_candidates(
     now_ms: int,
     unreachable_hosts: DataFrame | None = None,
     regenerate: bool = False,
+    current_round: int | None = None,
 ) -> DataFrame:
     df = frontier
     if not regenerate:
-        df = df.filter(F.col("generated_batch").isNull())
+        # F9: skip marked rows UNLESS the mark is stale (>= regen_rounds
+        # old) — batch ids are zero-padded ordinals, so the age is a
+        # numeric diff (GenerateMapper.java:259-281 '1 day' escape)
+        not_marked = F.col("generated_batch").isNull()
+        if current_round is not None:
+            mark_round = F.regexp_extract(F.col("generated_batch"), r"^batch-(\d+)$", 1)
+            stale = (mark_round != "") & (
+                F.lit(current_round) - mark_round.cast("int") >= cfg.regen_rounds
+            )
+            df = df.filter(not_marked | stale)
+        else:
+            df = df.filter(not_marked)
     if cfg.max_distance >= 0:
         df = df.filter(F.col("distance") <= cfg.max_distance)
     df = df.filter(should_fetch_col(F.col("fetch_time"), F.col("fetch_interval"), now_ms, cfg))
@@ -65,10 +77,13 @@ def generate(
     batch_id: str,
     unreachable_hosts: DataFrame | None = None,
     regenerate: bool = False,
+    current_round: int | None = None,
 ) -> DataFrame:
     """Returns the fetchlist (frontier rows + sort/selection columns,
     marked with batch_id/generated_batch). Caller merges the marks."""
-    cand = eligible_candidates(frontier, cfg, now_ms, unreachable_hosts, regenerate)
+    cand = eligible_candidates(
+        frontier, cfg, now_ms, unreachable_hosts, regenerate, current_round
+    )
     cand = cand.withColumn(
         "sort_score", scoring.generator_sort_value(F.col("score"))
     ).withColumn("page_category", page_category_col(F.col("url")))

@@ -172,7 +172,8 @@ class RoundDriver:
         # -- generate ----------------------------------------------------
         if not self._done(batch_id, "generate"):
             fl = gen_op.generate(
-                self.store.read(), self.cfg, now, batch_id, self.unreachable_hosts()
+                self.store.read(), self.cfg, now, batch_id,
+                self.unreachable_hosts(), current_round=r,
             )
             # The GENERATE_MARK lives in the fetchlist artifact until
             # updatedb folds it into the single per-round MERGE (one

@@ -771,6 +771,109 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) > 0.2
 """
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (sign-vote over token md5 bits),
+    returned as a '0'/'1' bit string."""
+    from .operators.dedup import simhash_bits
+
+    return simhash_bits(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_simhash() -> str:
+    from .operators.dedup import simhash_sql
+
+    return simhash_sql()
+
+
+ORACLE_DEDUP_SIMHASH = None  # generated lazily (large SQL)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True 3-gram Jaccard similarity for the minhash-LSH candidate
+    pairs (the verify step of the dedup pipeline)."""
+    from .operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = q_dedup_minhash_lsh(spark, sf_dir)
+    return jaccard_pairs(docs, cands)
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+mh AS (
+  SELECT doc_id,
+    min(md5(shingle || ':0')) h0, min(md5(shingle || ':1')) h1,
+    min(md5(shingle || ':2')) h2, min(md5(shingle || ':3')) h3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6) > 0.0
+"""
+
+
+def q_host_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness queue schedule (Q2/Q3 semantics as columns): per
+    host, best-first rank and the virtual request timestamp
+    round_start + rank*delay, capped by the round budget."""
+    fr = derived_frontier(spark, sf_dir)
+    delay_ms = 5000
+    budget_ms = 120 * 5000  # 120 requests per host per round
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.desc("score"), F.asc("url")
+    )
+    ranked = fr.withColumn("rk", F.row_number().over(w))
+    return ranked.select(
+        "url",
+        "host",
+        F.col("rk").cast("bigint").alias("queue_pos"),
+        (F.lit(NOW) + (F.col("rk") - 1) * delay_ms).alias("fetch_ts"),
+    ).filter((F.col("rk") - 1) * delay_ms < budget_ms)
+
+
+ORACLE_HOST_QUEUE_ORDER = f"""
+WITH {FRONTIER_SQL},
+ranked AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, score DESC, url ASC) AS rk
+  FROM frontier
+)
+SELECT url, host, CAST(rk AS BIGINT) AS queue_pos,
+       {NOW} + (rk - 1) * 5000 AS fetch_ts
+FROM ranked WHERE (rk - 1) * 5000 < {120 * 5000}
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -794,6 +897,9 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "host_queue_order": q_host_queue_order,
 }
 
 ORACLES = {
@@ -816,4 +922,16 @@ ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_lsh_buckets": ORACLE_EMBEDDING_LSH_BUCKETS,
     "embedding_cosine_dedup": ORACLE_EMBEDDING_COSINE_DEDUP,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "host_queue_order": ORACLE_HOST_QUEUE_ORDER,
 }
+
+# simhash oracle SQL is generated from the same bit layout as the
+# Spark implementation (operators/dedup.py)
+def _register_simhash_oracle() -> None:
+    from .operators.dedup import simhash_sql
+
+    ORACLES["dedup_simhash"] = simhash_sql()
+
+
+_register_simhash_oracle()

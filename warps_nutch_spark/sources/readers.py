@@ -1,0 +1,72 @@
+"""Web-table readers and the host-table builder.
+
+Reference mapping:
+- S9 ``WebTableReader`` (``mapreduce/WebTableReader.java``):
+  - stats: counts by status + score quantiles (lines 68-160),
+  - regex dump (lines 253-300),
+  - single-key get (lines 216-246);
+- S10 ``HostDbUpdateJob``/``HostDbUpdateReducer`` (``host/``): rebuild
+  the host dimension table from frontier rows.
+
+All are declarative DataFrame ops over the frontier store — the point
+lookups of the reference become pushed-down predicates (Catalyst
+prunes the host_bucket partition for host-scoped scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import urls
+from ..functions.status import status_name_col
+
+
+def frontier_stats(frontier: DataFrame) -> DataFrame:
+    """Counts by status + min/max/avg score (WebTableReader -stats)."""
+    by_status = frontier.groupBy(
+        status_name_col(F.col("status")).alias("status_name")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+    return by_status
+
+
+def dump(frontier: DataFrame, url_regex: str | None = None, columns: list[str] | None = None) -> DataFrame:
+    """Regex dump (WebTableReader -dump -regex): predicate stays
+    JVM-side via rlike; column pruning via select."""
+    out = frontier
+    if url_regex:
+        out = out.filter(F.col("url").rlike(url_regex))
+    if columns:
+        out = out.select(*columns)
+    return out
+
+
+def get_url(frontier: DataFrame, url: str) -> DataFrame:
+    """Single-row read (WebTableReader -url). Never a driver-side
+    loop: an equality predicate the scan pushes down; with the
+    host_bucket partitioning, only one bucket is scanned."""
+    return frontier.filter(F.col("url_hash") == urls.url_hash(url))
+
+
+def build_host_table(frontier: DataFrame) -> DataFrame:
+    """HostDb rebuild: per-host aggregates from the frontier
+    (HostDbUpdateReducer.java:36-80)."""
+    from ..functions.status import CrawlStatus
+
+    return frontier.groupBy("host").agg(
+        F.count("*").alias("page_count"),
+        F.sum((F.col("status") == CrawlStatus.FETCHED).cast("long")).alias(
+            "fetched_count"
+        ),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum((F.col("status") == CrawlStatus.GONE).cast("long")).cast("int").alias(
+            "failures"
+        ),
+        F.min("distance").alias("min_distance"),
+        F.max(F.col("is_seed").cast("int")).cast("boolean").alias("has_seed"),
+    )
