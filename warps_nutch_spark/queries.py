@@ -664,7 +664,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
     return (
-        joined.select("vec_id", F.round(cos, 6).alias("cosine"))
+        joined.select("vec_id", F.round(cos, 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
@@ -672,7 +672,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_TOPK = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round(list_cosine_similarity(e.embedding, q.qe), 6) AS cosine
+SELECT vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS cosine
 FROM embeddings e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
@@ -718,7 +718,7 @@ WITH planes AS (
 ),
 bits AS (
   SELECT e.vec_id, p.plane_id,
-    CASE WHEN list_dot_product(e.embedding, p.pe) >= 0 THEN '1' ELSE '0' END AS bit
+    CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pe AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END AS bit
   FROM embeddings e, planes p
 ),
 buckets AS (
@@ -755,19 +755,23 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
-    return joined.select(
+    # filter on the UNROUNDED cosine (identical double math in both
+    # engines over the same float32 inputs); round only the output
+    return joined.filter(cos > 0.2).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(cos, 6).alias("cosine"),
-    ).filter(F.col("cosine") > 0.2)
+        # 4 decimals: a multi-op double accumulation can differ by an
+        # ulp between engines; a coarser grid keeps the value-hash stable
+        F.round(cos, 4).alias("cosine"),
+    )
 
 
 ORACLE_EMBEDDING_COSINE_DEDUP = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) > 0.2
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
 """
 
 
