@@ -39,14 +39,14 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 web = SimWeb(*web_params)
-cfg = CrawlConfig(top_n=100_000, max_per_host=200, crawl_delay_ms=1000,
+cfg = CrawlConfig(top_n=400_000, max_per_host=400, crawl_delay_ms=1000,
                   round_time_limit_ms=3_600_000, host_buckets=64,
                   bloom_partitions=max(cpus, 16),
                   bloom_capacity_per_partition=2_000_000)
 wd = tempfile.mkdtemp(prefix=f"wns-scale-{cpus}-")
 try:
     drv = RoundDriver(spark, wd, cfg, web_params)
-    seeds = spark.createDataFrame([(u,) for u in web.seeds(4)], ["value"])
+    seeds = spark.createDataFrame([(u,) for u in web.seeds(8)], ["value"])
     t0 = time.time()
     stats = drv.run(seeds, rounds=rounds)
     elapsed = time.time() - t0
@@ -83,7 +83,7 @@ def run_level(cpus: int, web, rounds: int) -> dict:
 
 def main():
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    web = (4000, 120, 42)
+    web = (4000, 400, 42)
     rounds = 2
     results = {8: [], 32: []}
     for i in range(runs):
@@ -117,10 +117,10 @@ levels: `local[8]` (N) and `local[32]` (4N), fresh JVM per level.
 - SimWeb: {web[0]} hosts, Zipf-skewed sizes (hot host ~12% of URL
   mass), pages_per_host_base={web[1]}, seed=42 — deterministic, no
   external data.
-- Seeds: 4 per host ({web[0] * 4} URLs); {rounds} crawl rounds
+- Seeds: 8 per host ({web[0] * 8} URLs); {rounds} crawl rounds
   (generate -> fetch -> parse -> updatedb, full pipeline incl. Bloom
   URL-seen maintenance and frontier MERGE).
-- Config: topN=100000, maxPerHost=200, crawl_delay=1s (virtual
+- Config: topN=400000, maxPerHost=400, crawl_delay=1s (virtual
   clock), host_buckets=64, shuffle partitions = 2x cores.
 
 ## Result (best of {runs} runs per level; metric = URLs fetched+updated / sec)
