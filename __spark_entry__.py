@@ -22,6 +22,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 # executors unpickle UDF closures that import warps_nutch_spark
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+# single-threaded BLAS in python workers: each of N workers spawning a
+# full OpenBLAS pool thrashes N*cores threads (measured 5x slowdown)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 
 def entry(spark: SparkSession) -> DataFrame:

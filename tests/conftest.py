@@ -13,6 +13,8 @@ def spark():
     # executors unpickle UDF closures that import warps_nutch_spark
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     from pyspark.sql import SparkSession
 
     spark = (

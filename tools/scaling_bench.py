@@ -23,6 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import sys, os, json, shutil, tempfile, time
 sys.path.insert(0, os.environ["WNS_REPO"]) ; os.environ["PYTHONPATH"] = os.environ["WNS_REPO"]
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 from pyspark.sql import SparkSession
 from warps_nutch_spark.config import CrawlConfig
 from warps_nutch_spark.plans.round import RoundDriver

@@ -44,6 +44,11 @@ class CrawlConfig:
     # unreachable host: N consecutive failures detaches the host
     # (TasksMonitor.java:343-366)
     max_host_failures: int = 3
+    # Q5 slow-queue eviction (FetchMonitor.java:437-460,
+    # TasksMonitor.java:372-397): when > 0, simulate per-request
+    # response times and detach hosts whose avg fetch duration exceeds
+    # this many ms for the following rounds
+    slow_host_avg_ms: int = 0
 
     # --- schedules (AbstractFetchSchedule / AdaptiveFetchSchedule) ----
     # db.fetch.interval.default = 30 days

@@ -129,19 +129,20 @@ def _dct_matrix(n: int = _N) -> np.ndarray:
         i = np.arange(n)[None, :]
         m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
         m[0, :] = np.sqrt(1.0 / n)
-        _DCT_M = m
+        # float32: halves the matmul bandwidth; the hash thresholds on
+        # the median so the precision loss never flips a bit in practice
+        # (verified by the determinism tests)
+        _DCT_M = m.astype(np.float32)
     return _DCT_M
 
 
 def _to_gray32(pixels: np.ndarray) -> np.ndarray:
-    gray = (
-        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
-    )
-    h, w = gray.shape
-    # deterministic nearest-index resample to 32x32
+    h, w = pixels.shape[:2]
+    # resample FIRST (32x32), then weight channels — ~4x less gray math
     yi = (np.arange(_N) * h) // _N
     xi = (np.arange(_N) * w) // _N
-    return gray[np.ix_(yi, xi)]
+    small = pixels[np.ix_(yi, xi)].astype(np.float32)
+    return 0.299 * small[..., 0] + 0.587 * small[..., 1] + 0.114 * small[..., 2]
 
 
 def phash(pixels: np.ndarray) -> int:

@@ -62,6 +62,7 @@ RESULT_EXTRA_FIELDS = [
     T.StructField("bytes", T.BinaryType()),
     T.StructField("out_urls", T.ArrayType(T.StringType())),
     T.StructField("fetched", T.BooleanType()),
+    T.StructField("fetch_duration_ms", T.LongType()),
 ]
 
 CARRY_COLS = [
@@ -144,8 +145,14 @@ def _make_fetch_group(cfg: CrawlConfig, web_params: tuple, round_start_ms: int):
         proto[denied] = ProtocolStatus.ROBOTS_DENIED
 
         # virtual politeness clock: robots-denied rows consume no
-        # request slot; everything else advances the clock by `delay`.
-        # Rows past the round time budget stay unfetched (feeder drain).
+        # request slot; everything else advances the clock by the
+        # request duration + crawl delay (FetchQueue.java:339-346:
+        # nextFetchTime = endTime + crawlDelay). Rows past the round
+        # time budget stay unfetched (feeder drain).
+        durations = np.zeros(n, dtype=np.int64)
+        if cfg.slow_host_avg_ms > 0:
+            durations = web.response_time_ms(hi, j)
+            durations[~valid] = 100
         fetch_ts = np.zeros(n, dtype=np.int64)
         fetched = np.zeros(n, dtype=bool)
         t = int(round_start_ms)
@@ -159,7 +166,7 @@ def _make_fetch_group(cfg: CrawlConfig, web_params: tuple, round_start_ms: int):
                 continue  # time limit: remains ungenerated-for-this-round
             fetch_ts[i] = t
             fetched[i] = True
-            t += delay
+            t += delay + int(durations[i])
 
         new_status = np.array(
             [PROTOCOL_TO_CRAWL.get(int(p), CrawlStatus.RETRY) for p in proto],
@@ -195,6 +202,7 @@ def _make_fetch_group(cfg: CrawlConfig, web_params: tuple, round_start_ms: int):
         out["bytes"] = blobs
         out["out_urls"] = outs
         out["fetched"] = fetched
+        out["fetch_duration_ms"] = durations
         return out
 
     return fetch_group

@@ -48,6 +48,11 @@ ASSET_SUFFIX_RE = r"\.(js|css|jpg|png|jpeg|gif)([?#].*)?$"
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Input batches carry ONLY (url_hash, bytes); output carries ONLY
+    (url_hash, parse columns) — the payload bytes never make the
+    Python -> JVM return trip (they rejoin JVM-side by url_hash).
+    This halves the Arrow traffic of the decode stage, which is
+    memory-bandwidth-bound, not CPU-bound."""
     for pdf in batches:
         n = len(pdf)
         image_id = [None] * n
@@ -70,15 +75,18 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ok[i] = True
             if cap and cap.startswith("caption of "):
                 image_id[i] = cap.split(" ")[2]
-        out = pdf.copy()
-        out["image_id"] = pd.array(image_id, dtype="string")
-        out["caption"] = pd.array(caption, dtype="string")
-        out["phash"] = pd.array(phash, dtype="Int64")
-        out["w"] = pd.array(ws, dtype="Int32")
-        out["h"] = pd.array(hs, dtype="Int32")
-        out["fmt"] = pd.array(fmts, dtype="string")
-        out["decode_ok"] = ok
-        yield out
+        yield pd.DataFrame(
+            {
+                "url_hash": pdf["url_hash"],
+                "image_id": pd.array(image_id, dtype="string"),
+                "caption": pd.array(caption, dtype="string"),
+                "phash": pd.array(phash, dtype="Int64"),
+                "w": pd.array(ws, dtype="Int32"),
+                "h": pd.array(hs, dtype="Int32"),
+                "fmt": pd.array(fmts, dtype="string"),
+                "decode_ok": ok,
+            }
+        )
 
 
 def parse(
@@ -92,15 +100,21 @@ def parse(
     gated = fetch_results.filter(
         (F.col("batch_id") == batch_id) & F.col("fetched")
     )
-    # distribute decode evenly: payload stage may salt within host
-    # (politeness no longer applies after fetch); explicit partition
+    # Python sees only (url_hash, bytes): distribute decode evenly
+    # (salt within host is fine post-fetch) with an explicit partition
     # count so AQE's byte-based view can't serialize the Python stage
     n_parts = max(cfg.salt_factor * 16, 32)
-    gated = gated.repartition(
+    decode_in = gated.select("url_hash", "bytes").repartition(
         n_parts, F.xxhash64("url_hash", F.lit(cfg.partition_seed))
     )
-    schema = T.StructType(list(gated.schema.fields) + PARSE_FIELDS)
-    decoded = gated.mapInPandas(_decode_batches, schema=schema)
+    parse_schema = T.StructType(
+        [T.StructField("url_hash", T.StringType())] + PARSE_FIELDS
+    )
+    parse_cols = decode_in.mapInPandas(_decode_batches, schema=parse_schema)
+    # bytes + carry columns rejoin JVM-side; parse_cols is bounded by
+    # the fetchlist size (<= topN rows, ~100 bytes each) -> broadcast,
+    # so the payload bytes are never shuffled again
+    decoded = gated.join(F.broadcast(parse_cols), on="url_hash", how="left")
 
     # X4 signature: md5(bytes) (NULL when no content — the old
     # `signature` column still holds the frontier's previous value,

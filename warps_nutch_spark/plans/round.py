@@ -117,42 +117,62 @@ class RoundDriver:
         return os.path.join(self.workdir, "hosts")
 
     def unreachable_hosts(self) -> DataFrame | None:
+        """Detached hosts: unreachable (>= max failures,
+        TasksMonitor.java:343-366) plus, when slow-queue eviction is
+        on, hosts whose avg fetch duration exceeds the threshold (Q5,
+        FetchMonitor.java:437-460)."""
         p = self._hosts_path()
         if not os.path.exists(p):
             return None
-        return (
-            self.spark.read.parquet(p)
-            .filter(F.col("failures") >= self.cfg.max_host_failures)
-            .select("host")
-        )
+        hosts = self.spark.read.parquet(p)
+        cond = F.col("failures") >= self.cfg.max_host_failures
+        if self.cfg.slow_host_avg_ms > 0:
+            avg = F.col("total_duration_ms") / F.greatest(F.col("fetch_count"), F.lit(1))
+            cond = cond | (
+                (F.col("fetch_count") >= 3) & (avg > self.cfg.slow_host_avg_ms)
+            )
+        return hosts.filter(cond).select("host")
 
     def _update_host_failures(self, fetch_results: DataFrame, batch_id: str) -> None:
-        fail = (
-            fetch_results.filter(
-                F.col("fetched")
-                & F.col("proto_code").isin(ProtocolStatus.TIMEOUT, ProtocolStatus.UNKNOWN_HOST)
-            )
+        stats = (
+            fetch_results.filter(F.col("fetched"))
             .groupBy("host")
-            .agg(F.count("*").alias("new_failures"))
+            .agg(
+                F.sum(
+                    F.col("proto_code")
+                    .isin(ProtocolStatus.TIMEOUT, ProtocolStatus.UNKNOWN_HOST)
+                    .cast("long")
+                ).alias("new_failures"),
+                F.sum(F.coalesce("fetch_duration_ms", F.lit(0))).alias("new_duration"),
+                F.count("*").alias("new_count"),
+            )
         )
         p = self._hosts_path()
         if os.path.exists(p):
             prev = self.spark.read.parquet(p)
-            merged = (
-                prev.join(fail, on="host", how="outer")
-                .select(
-                    "host",
-                    (F.coalesce("failures", F.lit(0)) + F.coalesce("new_failures", F.lit(0))).alias(
-                        "failures"
-                    ),
-                )
+            merged = prev.join(stats, on="host", how="outer").select(
+                "host",
+                (F.coalesce("failures", F.lit(0)) + F.coalesce("new_failures", F.lit(0))).alias(
+                    "failures"
+                ),
+                (
+                    F.coalesce("total_duration_ms", F.lit(0))
+                    + F.coalesce("new_duration", F.lit(0))
+                ).alias("total_duration_ms"),
+                (F.coalesce("fetch_count", F.lit(0)) + F.coalesce("new_count", F.lit(0))).alias(
+                    "fetch_count"
+                ),
             )
         else:
-            merged = fail.select("host", F.col("new_failures").alias("failures"))
+            merged = stats.select(
+                "host",
+                F.col("new_failures").alias("failures"),
+                F.col("new_duration").alias("total_duration_ms"),
+                F.col("new_count").alias("fetch_count"),
+            )
         tmp = p + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(p)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
 
     # ---- stages ---------------------------------------------------------
     def inject(self, seeds, batch_id: str = "inject") -> None:

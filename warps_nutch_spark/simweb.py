@@ -149,6 +149,14 @@ class SimWeb:
             out.append(links)
         return out
 
+    def response_time_ms(self, hi: np.ndarray, j: np.ndarray) -> np.ndarray:
+        """Simulated per-request latency: ~100-700 ms, with every 13th
+        host (hi % 13 == 5) a slow host (~3-4 s) so the Q5 slow-queue
+        eviction has something to evict."""
+        base = 100 + (self._mix(hi, j, 17) % U64(600)).astype(np.int64)
+        slow = (hi % 13) == 5
+        return np.where(slow, base + 3000, base)
+
     def payload_seed(self, hi: np.ndarray, j: np.ndarray) -> np.ndarray:
         """Duplicate-content pairs: 'dup'-category pages come in pairs
         (j, j+8) — the second shares the payload seed of the first
