@@ -1,0 +1,63 @@
+"""Driver-contract parity inside pytest: run a representative subset
+of queries() against their DuckDB oracle_sql() twins at sf0.001 (the
+full 22-query sweep lives in tools/check_oracles.py and runs at
+sf0.01/0.1)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SUBSET = [
+    "inject_canonicalize",
+    "url_reverse",
+    "generate_topn",
+    "opic_distribute",
+    "opic_update",
+    "adaptive_schedule",
+    "status_counters",
+    "urlseen_antijoin",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk",
+    "host_queue_order",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    from warps_nutch_spark.queries import ORACLES, QUERIES
+
+    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    want = _normalize(duck.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            assert np.allclose(
+                a.astype(float), b.astype(float), rtol=1e-6, atol=1e-6, equal_nan=True
+            ), (name, c)
+        else:
+            assert a.astype(str).equals(b.astype(str)), (name, c)

@@ -89,6 +89,10 @@ class CrawlConfig:
     additions_allowed: bool = True
 
     # --- partitioning / skew -------------------------------------------
+    # partition.url.mode analog (URLPartitioner.java:69-104,
+    # nutch-default.xml:603-605): the politeness-queue unit — byHost
+    # (default) or byDomain (byIP needs DNS, n/a in the sandbox)
+    partition_mode: str = "host"
     # partition.url.seed analog (URLPartitioner.java:101-103): per-round
     # seed XOR'd into the host hash so a hot host moves between
     # partitions across rounds.

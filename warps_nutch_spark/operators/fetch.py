@@ -123,16 +123,25 @@ def _make_fetch_group(cfg: CrawlConfig, web_params: tuple, round_start_ms: int):
         ).reset_index(drop=True)
         n = len(pdf)
 
+        # queue-level delay: first per-host override in the group wins
+        # (host == group in byHost mode; in byDomain mode this is the
+        # domain-level override)
         delay = cfg.crawl_delay_ms
-        cd = pdf["robots_delay"].iloc[0] if "robots_delay" in pdf else None
-        if cd is not None and not pd.isna(cd):
-            delay = int(cd)
-        disallow = pdf["robots_disallow"].iloc[0] if "robots_disallow" in pdf else None
-        if isinstance(disallow, np.ndarray):
-            disallow = disallow.tolist()
+        if "robots_delay" in pdf:
+            cds = pdf["robots_delay"].dropna()
+            if len(cds):
+                delay = int(cds.iloc[0])
 
         paths = pdf["url"].str.replace(r"^[a-z]+://[^/]+", "", regex=True)
-        denied = _robots_denied(paths, disallow)
+        # robots disallow is per HOST even when the queue is a domain
+        denied = np.zeros(len(pdf), dtype=bool)
+        if "robots_disallow" in pdf:
+            for host in pdf["host"].unique():
+                sel = (pdf["host"] == host).to_numpy()
+                disallow = pdf.loc[sel, "robots_disallow"].iloc[0]
+                if isinstance(disallow, np.ndarray):
+                    disallow = disallow.tolist()
+                denied[sel] = _robots_denied(paths[sel], disallow)
 
         hi, j, valid = sw.parse_urls(pdf["url"])
         http = web.http_status(hi, j)
@@ -232,5 +241,17 @@ def fetch(
         fl = fl.withColumn("robots_disallow", F.lit(None).cast("array<string>")).withColumn(
             "robots_delay", F.lit(None).cast("long")
         )
+    # politeness-queue unit: host (default) or registered domain
+    # (URLPartitioner byDomain mode) — the group key is the unit that
+    # is never fetched concurrently
+    if cfg.partition_mode == "domain":
+        from ..functions import urls as _urls
+
+        fl = fl.withColumn("_queue_key", _urls.domain_col(F.col("host")))
+    else:
+        fl = fl.withColumn("_queue_key", F.col("host"))
     group_fn = _make_fetch_group(cfg, web_params, round_start_ms)
-    return fl.groupBy("host").applyInPandas(group_fn, schema=fetch_result_schema())
+    return (
+        fl.groupBy("_queue_key")
+        .applyInPandas(group_fn, schema=fetch_result_schema())
+    )

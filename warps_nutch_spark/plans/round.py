@@ -114,7 +114,20 @@ class RoundDriver:
 
     # ---- unreachable hosts ------------------------------------------
     def _hosts_path(self) -> str:
-        return os.path.join(self.workdir, "hosts")
+        """Latest version of the host-state table (versioned dirs so an
+        update is one write, not write-tmp + read + rewrite)."""
+        base = os.path.join(self.workdir, "hosts")
+        if not os.path.isdir(base):
+            return os.path.join(base, "v0000")
+        versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
+        return os.path.join(base, versions[-1]) if versions else os.path.join(base, "v0000")
+
+    def _next_hosts_path(self) -> str:
+        base = os.path.join(self.workdir, "hosts")
+        os.makedirs(base, exist_ok=True)
+        versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
+        n = int(versions[-1][1:]) + 1 if versions else 0
+        return os.path.join(base, f"v{n:04d}")
 
     def unreachable_hosts(self) -> DataFrame | None:
         """Detached hosts: unreachable (>= max failures,
@@ -170,9 +183,7 @@ class RoundDriver:
                 F.col("new_duration").alias("total_duration_ms"),
                 F.col("new_count").alias("fetch_count"),
             )
-        tmp = p + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(p)
+        merged.write.mode("overwrite").parquet(self._next_hosts_path())
 
     # ---- stages ---------------------------------------------------------
     def inject(self, seeds, batch_id: str = "inject") -> None:

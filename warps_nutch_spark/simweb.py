@@ -82,9 +82,19 @@ def parse_urls(urls: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 class SimWeb:
     """Pure-function web of ``n_hosts`` hosts with Zipf page counts."""
 
-    def __init__(self, n_hosts: int = 20, pages_per_host_base: int = 1000, seed: int = 42):
+    def __init__(
+        self,
+        n_hosts: int = 20,
+        pages_per_host_base: int = 1000,
+        seed: int = 42,
+        dim_spread: int = 57,
+    ):
         self.n_hosts = n_hosts
         self.seed = seed
+        # image dims are 8 .. 8+dim_spread px per side (corpus knob:
+        # the scaling bench uses a thumbnail corpus so engine work,
+        # not this VM's memory-bandwidth-bound codec, dominates)
+        self.dim_spread = max(1, dim_spread)
         # Zipf sizes: host i gets base / (i+1) pages (host0 ~30% of mass)
         weights = 1.0 / (np.arange(n_hosts) + 1)
         weights /= weights.sum()
@@ -174,8 +184,9 @@ class SimWeb:
 
     def image_dims(self, hi: np.ndarray, j: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         m = self._mix(hi, self._payload_j(j), 11)
-        w = 8 + (m % U64(57)).astype(np.int64)
-        h = 8 + ((m >> U64(8)) % U64(57)).astype(np.int64)
+        spread = U64(self.dim_spread)
+        w = 8 + (m % spread).astype(np.int64)
+        h = 8 + ((m >> U64(8)) % spread).astype(np.int64)
         return w, h
 
     def image_fmt(self, hi: np.ndarray, j: np.ndarray) -> np.ndarray:
