@@ -22,7 +22,7 @@ the full cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
@@ -80,6 +80,58 @@ agg AS (
 )
 SELECT {id_col}, {concat} AS simhash_bits FROM agg
 """
+
+
+def text_profile_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 2,
+    quant_rate: float = 0.01,
+) -> DataFrame:
+    """TextProfileSignature (``crawl/TextProfileSignature.java``):
+    alnum-run tokens lowercased, length > min_token_len, frequency
+    counts quantized to QUANT = round(maxFreq * quant_rate) (min 2 when
+    maxFreq > 1), sub-QUANT tokens dropped, profile lines
+    ``token cnt`` sorted by cnt desc then md5'd.
+
+    Deviation from the reference: ties in cnt are broken by token asc
+    (the Java version inherits HashMap iteration order, which is not
+    deterministic across JVMs — a bug for a *signature*; we pin it).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9]+", " ")), " ")
+        ).alias("tok"),
+    ).filter(F.length("tok") > min_token_len)
+    counts = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(id_col)
+    # materialize the window first (a window expr can't sit in a WHERE)
+    counts = counts.withColumn("maxfreq", F.max("cnt").over(w))
+    # Java Math.round == floor(x + 0.5): spell it out so Spark
+    # (HALF_UP) and DuckDB (HALF_EVEN) oracles can't diverge at .5
+    quant = F.greatest(
+        F.when(F.col("maxfreq") > 1, F.lit(2)).otherwise(F.lit(1)),
+        F.floor(F.col("maxfreq") * F.lit(float(quant_rate)) + F.lit(0.5)).cast("int"),
+    )
+    quantized = (
+        counts.withColumn("quant", quant)
+        .withColumn("qcnt", (F.col("cnt") / F.col("quant")).cast("long") * F.col("quant"))
+        .filter(F.col("qcnt") >= F.col("quant"))
+    )
+    profile = quantized.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("qcnt")).alias("neg"), F.col("tok")))
+                ),
+                lambda s: F.concat(s.getField("tok"), F.lit(" "), (-s.getField("neg")).cast("string")),
+            ),
+        ).alias("profile")
+    )
+    return profile.select(F.col(id_col), F.md5("profile").alias("text_profile_sig"))
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

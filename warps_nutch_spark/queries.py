@@ -845,6 +845,45 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6) > 0.
 """
 
 
+def q_text_profile_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextProfileSignature dedup signature (X4 family,
+    crawl/TextProfileSignature.java semantics, deterministic ties)."""
+    from .operators.dedup import text_profile_signature
+
+    return text_profile_signature(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_PROFILE_SIGNATURE = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+f AS (SELECT * FROM toks WHERE length(tok) > 2),
+counts AS (SELECT doc_id, tok, count(*) AS cnt FROM f GROUP BY 1, 2),
+mx AS (
+  SELECT doc_id, tok, cnt, max(cnt) OVER (PARTITION BY doc_id) AS maxfreq
+  FROM counts
+),
+q AS (
+  SELECT doc_id, tok, cnt,
+    greatest(CASE WHEN maxfreq > 1 THEN 2 ELSE 1 END,
+             CAST(floor(maxfreq * 0.01 + 0.5) AS INTEGER)) AS quant
+  FROM mx
+),
+qz AS (
+  SELECT doc_id, tok, (cnt // quant) * quant AS qcnt, quant FROM q
+),
+profile AS (
+  SELECT doc_id,
+    string_agg(tok || ' ' || CAST(qcnt AS VARCHAR), chr(10)
+               ORDER BY qcnt DESC, tok ASC) AS p
+  FROM qz WHERE qcnt >= quant GROUP BY doc_id
+)
+SELECT doc_id, md5(p) AS text_profile_sig FROM profile
+"""
+
+
 def q_host_queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness queue schedule (Q2/Q3 semantics as columns): per
     host, best-first rank and the virtual request timestamp
@@ -904,6 +943,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "host_queue_order": q_host_queue_order,
+    "text_profile_signature": q_text_profile_signature,
 }
 
 ORACLES = {
@@ -928,6 +968,7 @@ ORACLES = {
     "embedding_cosine_dedup": ORACLE_EMBEDDING_COSINE_DEDUP,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "host_queue_order": ORACLE_HOST_QUEUE_ORDER,
+    "text_profile_signature": ORACLE_TEXT_PROFILE_SIGNATURE,
 }
 
 # simhash oracle SQL is generated from the same bit layout as the
