@@ -917,6 +917,37 @@ FROM ranked WHERE (rk - 1) * 5000 < {120 * 5000}
 """
 
 
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows over the events stream table (the
+    batch view of the Structured Streaming aggregation pattern —
+    windows keyed on epoch seconds so both engines agree exactly)."""
+    ev = _t(spark, sf_dir, "events")
+    # tz-free tumbling window key from date parts (ts is TIMESTAMP_NTZ)
+    m5 = ((F.minute("ts") / 5).cast("int") * 5).cast("bigint").alias("w_min5")
+    return ev.groupBy(
+        F.year("ts").cast("bigint").alias("w_year"),
+        F.month("ts").cast("bigint").alias("w_month"),
+        F.dayofmonth("ts").cast("bigint").alias("w_day"),
+        F.hour("ts").cast("bigint").alias("w_hour"),
+        m5,
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_EVENTS_WINDOWED = """
+SELECT CAST(year(ts) AS BIGINT) AS w_year, CAST(month(ts) AS BIGINT) AS w_month,
+       CAST(day(ts) AS BIGINT) AS w_day, CAST(hour(ts) AS BIGINT) AS w_hour,
+       CAST((minute(ts) // 5) * 5 AS BIGINT) AS w_min5,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -944,6 +975,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "host_queue_order": q_host_queue_order,
     "text_profile_signature": q_text_profile_signature,
+    "events_windowed": q_events_windowed,
 }
 
 ORACLES = {
@@ -969,6 +1001,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "host_queue_order": ORACLE_HOST_QUEUE_ORDER,
     "text_profile_signature": ORACLE_TEXT_PROFILE_SIGNATURE,
+    "events_windowed": ORACLE_EVENTS_WINDOWED,
 }
 
 # simhash oracle SQL is generated from the same bit layout as the
