@@ -316,8 +316,13 @@ def q_opic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("l_suppkey"),
     )
     capped = contribs.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= 10)
+    # order-independent sum: contribution is already rounded to 6
+    # decimals, so scale to integer micros and sum exact longs — the
+    # float-accumulation order inside each engine then cannot move the
+    # result across a rounding boundary (r1 hash_match failure).
+    micros = F.round(F.col("contribution") * 1e6, 0).cast("long")
     return capped.groupBy("l_partkey").agg(
-        F.round(F.sum("contribution"), 4).alias("inlink_sum"),
+        (F.sum(micros).cast("double") / F.lit(1e6)).alias("inlink_sum"),
         F.count("*").alias("n_inlinks"),
         F.min("inlink_distance").alias("min_distance"),
     )
@@ -342,7 +347,8 @@ capped AS (
       ORDER BY contribution DESC, l_orderkey ASC, l_linenumber ASC, l_suppkey ASC) AS rk
   FROM contribs
 )
-SELECT l_partkey, round(sum(contribution), 4) AS inlink_sum,
+SELECT l_partkey,
+       CAST(sum(CAST(round(contribution * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS inlink_sum,
        count(*) AS n_inlinks, min(inlink_distance) AS min_distance
 FROM capped WHERE rk <= 10 GROUP BY l_partkey
 """
