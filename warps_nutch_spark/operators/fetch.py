@@ -103,6 +103,19 @@ def fetch_result_schema() -> T.StructType:
     return T.StructType(base + RESULT_EXTRA_FIELDS)
 
 
+def robots_denied_col(path, disallow):
+    """F14 robots gate as a JVM-side predicate: the URL path matches
+    any disallow prefix (SimpleRobotRules prefix semantics; the fork
+    keeps ROBOTS_DENIED plumbing at TaskScheduler.java:716-720). This
+    is the Column twin of :func:`_robots_denied` (the numpy form used
+    inside the fetch group UDF); tests pin them equal, and the
+    `robots_gate` driver query oracle-checks this form."""
+    return F.exists(
+        F.coalesce(disallow, F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+
+
 def _robots_denied(paths: pd.Series, disallow: list[str] | None) -> np.ndarray:
     if not disallow:
         return np.zeros(len(paths), dtype=bool)

@@ -70,6 +70,34 @@ def eligible_candidates(
     return df
 
 
+def apply_detail_quota(cand: DataFrame, cfg: CrawlConfig, order: list) -> DataFrame:
+    """P5: detail quota — at most detail_quota_num/den of topN may be
+    DETAIL pages; overflow DETAIL pages are demoted to default
+    priority, not dropped (GenerateMapper.java:109-110,237-243).
+    ``cand`` must carry ``page_category`` and the sort columns. The
+    kept set is bounded by the quota (<= topN), so it's a TakeOrdered
+    + broadcast join, never a global sort shuffle."""
+    detail_quota = cfg.top_n * cfg.detail_quota_num // cfg.detail_quota_den
+    is_detail = (F.col("page_category") == "DETAIL") & (
+        F.col("priority") < cfg.priority_must_fetch
+    )
+    detail_keep = (
+        cand.filter(is_detail)
+        .orderBy(*order)
+        .limit(detail_quota)
+        .select("url_hash", F.lit(True).alias("detail_keep"))
+    )
+    return (
+        cand.join(F.broadcast(detail_keep), on="url_hash", how="left")
+        .withColumn(
+            "priority",
+            F.when(is_detail & F.col("detail_keep").isNull(), F.lit(cfg.priority_default))
+            .otherwise(F.col("priority")),
+        )
+        .drop("detail_keep")
+    )
+
+
 def generate(
     frontier: DataFrame,
     cfg: CrawlConfig,
@@ -90,28 +118,7 @@ def generate(
 
     order = [F.desc("priority"), F.desc("sort_score"), F.asc("url")]
 
-    # P5: detail quota — demote overflow DETAIL pages to default
-    # priority. The kept set is bounded by the quota (<= topN), so it's
-    # a TakeOrdered + broadcast join, never a global sort shuffle.
-    detail_quota = cfg.top_n * cfg.detail_quota_num // cfg.detail_quota_den
-    is_detail = (F.col("page_category") == "DETAIL") & (
-        F.col("priority") < cfg.priority_must_fetch
-    )
-    detail_keep = (
-        cand.filter(is_detail)
-        .orderBy(*order)
-        .limit(detail_quota)
-        .select("url_hash", F.lit(True).alias("detail_keep"))
-    )
-    cand = (
-        cand.join(F.broadcast(detail_keep), on="url_hash", how="left")
-        .withColumn(
-            "priority",
-            F.when(is_detail & F.col("detail_keep").isNull(), F.lit(cfg.priority_default))
-            .otherwise(F.col("priority")),
-        )
-        .drop("detail_keep")
-    )
+    cand = apply_detail_quota(cand, cfg, order)
 
     # P4: per-host cap (window rank — the only shuffle in this stage)
     host_win = Window.partitionBy("host").orderBy(*order)

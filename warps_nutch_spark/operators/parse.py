@@ -47,6 +47,25 @@ PARSE_FIELDS = [
 ASSET_SUFFIX_RE = r"\.(js|css|jpg|png|jpeg|gif)([?#].*)?$"
 
 
+def process_outlinks_col(out_urls, cfg: CrawlConfig):
+    """X3 outlink pipeline as one array expression (ParseUtil.java:
+    196-274): canonicalize each raw URL, drop rejects (NULL) and asset
+    suffixes, dedup preserving first occurrence, cap at
+    db.max.outlinks.per.page. Pure built-ins — JVM-side, and the same
+    logic is oracle-checked by the `outlink_normalize` driver query."""
+    canon = F.transform(
+        F.coalesce(out_urls, F.array().cast("array<string>")),
+        lambda u: urls.canonicalize_col(u),
+    )
+    return F.slice(
+        F.array_distinct(
+            F.filter(canon, lambda u: u.isNotNull() & ~u.rlike(ASSET_SUFFIX_RE))
+        ),
+        1,
+        cfg.max_outlinks_per_page,
+    )
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Input batches carry ONLY (url_hash, bytes); output carries ONLY
     (url_hash, parse columns) — the payload bytes never make the
@@ -128,26 +147,7 @@ def parse(
 
     # X3 outlink pipeline, all JVM-side
     processed = (
-        decoded.withColumn(
-            "out_canon",
-            F.transform(
-                F.coalesce(F.col("out_urls"), F.array().cast("array<string>")),
-                lambda u: urls.canonicalize_col(u),
-            ),
-        )
-        .withColumn(
-            "out_canon",
-            F.slice(
-                F.array_distinct(
-                    F.filter(
-                        F.col("out_canon"),
-                        lambda u: u.isNotNull() & ~u.rlike(ASSET_SUFFIX_RE),
-                    )
-                ),
-                1,
-                cfg.max_outlinks_per_page,
-            ),
-        )
+        decoded.withColumn("out_canon", process_outlinks_col(F.col("out_urls"), cfg))
         .withColumn(
             "outlinks",
             F.transform(

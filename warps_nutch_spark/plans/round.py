@@ -43,6 +43,19 @@ from ..store.frontier import ParquetFrontierStore
 from ..store.urlseen import BloomUrlSeen
 
 
+def host_eviction_cond(cfg: CrawlConfig):
+    """Detached-host predicate over the host-state table: unreachable
+    (>= max failures, TasksMonitor.java:343-366) plus, when slow-queue
+    eviction is on, hosts whose avg fetch duration exceeds the
+    threshold (Q5, FetchMonitor.java:437-460). Oracle-checked by the
+    `slow_host_eviction` driver query."""
+    cond = F.col("failures") >= cfg.max_host_failures
+    if cfg.slow_host_avg_ms > 0:
+        avg = F.col("total_duration_ms") / F.greatest(F.col("fetch_count"), F.lit(1))
+        cond = cond | ((F.col("fetch_count") >= 3) & (avg > cfg.slow_host_avg_ms))
+    return cond
+
+
 @contextmanager
 def python_stage_parallelism(spark: SparkSession):
     """AQE coalesces shuffles by BYTES, which serializes Python-heavy
@@ -138,13 +151,7 @@ class RoundDriver:
         if not os.path.exists(p):
             return None
         hosts = self.spark.read.parquet(p)
-        cond = F.col("failures") >= self.cfg.max_host_failures
-        if self.cfg.slow_host_avg_ms > 0:
-            avg = F.col("total_duration_ms") / F.greatest(F.col("fetch_count"), F.lit(1))
-            cond = cond | (
-                (F.col("fetch_count") >= 3) & (avg > self.cfg.slow_host_avg_ms)
-            )
-        return hosts.filter(cond).select("host")
+        return hosts.filter(host_eviction_cond(self.cfg)).select("host")
 
     def _update_host_failures(self, fetch_results: DataFrame, batch_id: str) -> None:
         stats = (

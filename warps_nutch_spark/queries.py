@@ -1019,3 +1019,15 @@ def _register_simhash_oracle() -> None:
 
 
 _register_simhash_oracle()
+
+
+def _register_ext_queries() -> None:
+    """Round-2 oracle-backed entries (queries_ext.py). Imported at the
+    bottom so queries_ext can import this module's helpers."""
+    from .queries_ext import EXT_ORACLES, EXT_QUERIES
+
+    QUERIES.update(EXT_QUERIES)
+    ORACLES.update(EXT_ORACLES)
+
+
+_register_ext_queries()

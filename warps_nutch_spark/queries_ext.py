@@ -1,0 +1,597 @@
+"""Round-2 driver-contract queries: oracle-backed entries for the §2
+operators that were previously pinned only by pytest (F5/F6, F8-F11,
+F14, P1, P5, Q5, R7/R8/R10, X3, I2) plus the SimHash Hamming-neighbor
+candidate join.
+
+Same contract as queries.py: every query's Spark side calls the REAL
+operator/function code (not a reimplementation), and the oracle is the
+ANSI-SQL statement of the same semantics for DuckDB. Inputs are
+derived deterministically from the driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .functions import urls
+from .functions.schedules import (
+    default_schedule_cols,
+    gone_backoff_interval,
+    should_fetch_col,
+)
+from .functions.status import CrawlStatus
+from .functions.urlfilters import (
+    RegexUrlFilter,
+    domain_filter,
+    suffix_filter_col,
+)
+from .operators import generate as gen_op
+from .operators.dedup import simhash_bits, simhash_sql
+from .operators.fetch import robots_denied_col
+from .operators.generate import apply_detail_quota
+from .operators.parse import process_outlinks_col
+from .operators.rows import complete_rows, page_category_col
+from .plans.round import host_eviction_cond
+from .queries import CFG, FRONTIER_SQL, NOW, _t, derived_frontier
+
+
+# ===========================================================================
+# F5: regex URL filter — ordered +/- rules, FIRST match wins
+# (net/RegexURLFilterBase.java; conf regex-urlfilter.txt semantics)
+# ===========================================================================
+# RE2-safe rule set (the default chain's backreference trap-guard rule
+# is exercised in pytest; oracles need RE2-compatible patterns)
+_REGEX_RULES = [
+    (False, r"^(file|ftp|mailto):"),
+    (False, r"\.(gif|jpg|png|ico|css|js)([?#].*)?$"),
+    (True, r"/detail/"),
+    (False, r"[?&](q|query|s|search)="),
+    (True, r"."),
+]
+
+
+def q_urlfilter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    # widen the input with scheme variants so the first rule fires too
+    cand = fr.select("url").unionByName(
+        fr.filter(F.col("doc_id") % 10 == 0).select(
+            F.regexp_replace("url", "^http://", "ftp://").alias("url")
+        )
+    )
+    filt = RegexUrlFilter(_REGEX_RULES)
+    return cand.select("url", filt.accepts_col(F.col("url")).alias("accepted"))
+
+
+ORACLE_URLFILTER_REGEX = f"""
+WITH {FRONTIER_SQL},
+cand AS (
+  SELECT url FROM frontier
+  UNION ALL
+  SELECT regexp_replace(url, '^http://', 'ftp://') AS url
+  FROM frontier WHERE doc_id % 10 = 0
+)
+SELECT url,
+  CASE
+    WHEN regexp_matches(url, '^(file|ftp|mailto):') THEN FALSE
+    WHEN regexp_matches(url, '\\.(gif|jpg|png|ico|css|js)([?#].*)?$') THEN FALSE
+    WHEN regexp_matches(url, '/detail/') THEN TRUE
+    WHEN regexp_matches(url, '[?&](q|query|s|search)=') THEN FALSE
+    WHEN regexp_matches(url, '.') THEN TRUE
+    ELSE FALSE
+  END AS accepted
+FROM cand
+"""
+
+
+# ===========================================================================
+# F6 + P1: suffix filter, domain-allowlist filter (broadcast semi-join)
+# and host/registered-domain key extraction (URLPartitioner.java:69-104,
+# util/URLUtil.getDomainName)
+# ===========================================================================
+def _variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URLs with www. subdomains and explicit ports so host vs
+    registered-domain extraction is non-trivial."""
+    fr = derived_frontier(spark, sf_dir)
+    host2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("www."), F.col("host"))
+    ).otherwise(F.col("host"))
+    port = F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    return fr.select(
+        F.concat(
+            F.lit("http://"),
+            host2,
+            port,
+            F.regexp_replace("url", r"^http://[^/]+", ""),
+        ).alias("url"),
+        F.col("doc_id"),
+    )
+
+
+def q_url_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _variant_urls(spark, sf_dir)
+    host = urls.host_col(F.col("url"))
+    return cand.select(
+        "url",
+        host.alias("host"),
+        urls.domain_col(host).alias("domain"),
+    )
+
+
+ORACLE_URL_PARTITION_KEY = f"""
+WITH {FRONTIER_SQL},
+cand AS (
+  SELECT 'http://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' || host ELSE host END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+    || regexp_replace(url, '^http://[^/]+', '') AS url
+  FROM frontier
+),
+h AS (
+  SELECT url, lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM cand
+)
+SELECT url, host,
+  CASE WHEN len(string_split(host, '.')) >= 2
+       THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       ELSE host END AS domain
+FROM h
+"""
+
+
+def q_urlfilter_plugins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suffix deny-list predicate + domain allowlist as a broadcast
+    semi-join (plugin/urlfilter-suffix, plugin/urlfilter-domain)."""
+    cand = _variant_urls(spark, sf_dir)
+    host = urls.host_col(F.col("url"))
+    allowed = (
+        cand.select(urls.domain_col(host).alias("domain"))
+        .distinct()
+        .filter(F.substring(F.md5("domain"), 1, 1).isin(*list("01234567")))
+    )
+    kept = domain_filter(cand, allowed)
+    return kept.select(
+        "url",
+        suffix_filter_col(F.col("url"), [".jpg", ".png"]).alias("suffix_ok"),
+    )
+
+
+ORACLE_URLFILTER_PLUGINS = f"""
+WITH {FRONTIER_SQL},
+cand AS (
+  SELECT 'http://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' || host ELSE host END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+    || regexp_replace(url, '^http://[^/]+', '') AS url
+  FROM frontier
+),
+h AS (
+  SELECT url, lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM cand
+),
+d AS (
+  SELECT url,
+    CASE WHEN len(string_split(host, '.')) >= 2
+         THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         ELSE host END AS domain
+  FROM h
+)
+SELECT url,
+  NOT (regexp_replace(url, '[?#].*$', '') LIKE '%.jpg'
+       OR regexp_replace(url, '[?#].*$', '') LIKE '%.png') AS suffix_ok
+FROM d
+WHERE substr(md5(domain), 1, 1) IN ('0','1','2','3','4','5','6','7')
+"""
+
+
+# ===========================================================================
+# F8/F9/F10/F11 + I2: generate eligibility — mark guard with stale
+# escape, distance cap, shouldFetch, unreachable-host anti-join
+# (GenerateMapper.java:144-338, 259-281 stale escape)
+# ===========================================================================
+_ELIG_CFG = CrawlConfig(max_distance=2, regen_rounds=3)
+_ELIG_NOW = NOW + 50 * 3_600_000
+_ELIG_ROUND = 4  # marks from round <= 1 are stale (4 - r >= 3)
+
+
+def q_generate_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir).withColumn(
+        "generated_batch",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("batch-000"), (F.col("doc_id") % 2 * 3).cast("string")),
+        ).otherwise(F.lit(None).cast("string")),
+    )
+    unreachable = (
+        fr.select("host")
+        .distinct()
+        .filter(F.substring(F.md5("host"), 1, 1).isin("0", "1", "2", "3"))
+    )
+    out = gen_op.eligible_candidates(
+        fr, _ELIG_CFG, _ELIG_NOW, unreachable, current_round=_ELIG_ROUND
+    )
+    return out.select("url", "distance", "generated_batch")
+
+
+ORACLE_GENERATE_ELIGIBILITY = f"""
+WITH {FRONTIER_SQL},
+marked AS (
+  SELECT *, CASE WHEN doc_id % 7 = 0
+                 THEN 'batch-000' || CAST((doc_id % 2) * 3 AS VARCHAR)
+                 ELSE NULL END AS generated_batch
+  FROM frontier
+)
+SELECT url, distance, generated_batch FROM marked
+WHERE (generated_batch IS NULL
+       OR {_ELIG_ROUND} - CAST(substr(generated_batch, 7) AS INTEGER) >= {_ELIG_CFG.regen_rounds})
+  AND distance <= {_ELIG_CFG.max_distance}
+  AND (fetch_time - {_ELIG_NOW} > {_ELIG_CFG.max_fetch_interval_sec * 1000}
+       OR fetch_time <= {_ELIG_NOW})
+  AND substr(md5(host), 1, 1) NOT IN ('0','1','2','3')
+"""
+
+
+# ===========================================================================
+# P5: detail-page quota — overflow DETAIL pages demoted, not dropped
+# (GenerateMapper.java:109-110,237-243)
+# ===========================================================================
+def q_detail_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = complete_rows(
+        derived_frontier(spark, sf_dir).drop("fetch_time", "fetch_interval", "doc_id"),
+        CFG,
+        NOW,
+    )
+    cand = fr.withColumn("sort_score", F.col("score")).withColumn(
+        "page_category", page_category_col(F.col("url"))
+    )
+    order = [F.desc("priority"), F.desc("sort_score"), F.asc("url")]
+    out = apply_detail_quota(cand, CFG, order)
+    return out.select(
+        "url",
+        "page_category",
+        F.col("priority").cast("bigint").alias("priority"),
+    )
+
+
+# quota = top_n * 2 // 3 over CFG(top_n=50)
+ORACLE_DETAIL_QUOTA = f"""
+WITH {FRONTIER_SQL},
+cat AS (
+  SELECT url, score, priority,
+    CASE
+      WHEN regexp_matches(url, '://[^/]+/?$')
+        OR regexp_matches(url, '/(index|default)[^/]*$') THEN 'INDEX'
+      WHEN regexp_matches(url, '/search([/?#]|$)')
+        OR regexp_matches(url, '[?&](q|query|s|search)=') THEN 'SEARCH'
+      WHEN regexp_matches(url, '/media/')
+        OR regexp_matches(url, '\\.(jpg|jpeg|png|gif|mp4|webm)$') THEN 'MEDIA'
+      WHEN regexp_matches(url, '/detail/')
+        OR regexp_matches(url, '/[a-z]+/\\d+([/.?#]|$)') THEN 'DETAIL'
+      ELSE 'UNKNOWN' END AS page_category
+  FROM frontier
+),
+keep AS (
+  SELECT url FROM cat
+  WHERE page_category = 'DETAIL' AND priority < {CFG.priority_must_fetch}
+  ORDER BY priority DESC, score DESC, url ASC
+  LIMIT {CFG.top_n * CFG.detail_quota_num // CFG.detail_quota_den}
+)
+SELECT c.url, c.page_category,
+  CAST(CASE WHEN c.page_category = 'DETAIL'
+            AND c.priority < {CFG.priority_must_fetch}
+            AND k.url IS NULL
+       THEN {CFG.priority_default} ELSE c.priority END AS BIGINT) AS priority
+FROM cat c LEFT JOIN keep k ON c.url = k.url
+"""
+
+
+# ===========================================================================
+# R7/R8/R10: schedule-by-status CASE — default schedule for fetch-like,
+# retry backoff with max-retries -> GONE, gone interval backoff, mark
+# cleanup (ReduceDatumBuilder.java:215-276, DefaultFetchSchedule)
+# ===========================================================================
+def q_retry_gone_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = (
+        derived_frontier(spark, sf_dir)
+        .withColumn(
+            "new_status",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(CrawlStatus.RETRY))
+            .when(F.col("doc_id") % 5 == 1, F.lit(CrawlStatus.GONE))
+            .when(F.col("doc_id") % 5 == 2, F.lit(CrawlStatus.NOTMODIFIED))
+            .otherwise(F.lit(CrawlStatus.FETCHED)),
+        )
+        .withColumn("retries_since_fetch", (F.col("doc_id") % 4).cast("int"))
+        .withColumn("generated_batch", F.lit("batch-0000"))
+    )
+    cfg = CFG
+    is_fetch_like = F.col("new_status").isin(
+        CrawlStatus.FETCHED,
+        CrawlStatus.REDIR_PERM,
+        CrawlStatus.REDIR_TEMP,
+        CrawlStatus.NOTMODIFIED,
+    )
+    is_retry = F.col("new_status") == CrawlStatus.RETRY
+    retry_exhausted = is_retry & (
+        F.col("retries_since_fetch") + 1 >= F.lit(cfg.max_retries)
+    )
+    is_gone = (F.col("new_status") == CrawlStatus.GONE) | retry_exhausted
+    out = (
+        fr.withColumn(
+            "final_status",
+            F.when(is_gone, F.lit(CrawlStatus.GONE)).otherwise(F.col("new_status")),
+        )
+        .withColumn(
+            "new_fetch_time",
+            F.when(
+                is_fetch_like,
+                default_schedule_cols(F.col("fetch_time"), F.col("fetch_interval")),
+            ).otherwise(
+                F.lit(NOW) + F.col("fetch_interval").cast("long") * 1000
+            ),
+        )
+        .withColumn(
+            "new_interval",
+            F.when(is_gone, gone_backoff_interval(F.col("fetch_interval"), cfg))
+            .otherwise(F.col("fetch_interval"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "new_retries",
+            F.when(is_retry, F.col("retries_since_fetch") + 1)
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        # R10 mark cleanup: updatedb clears GENERATE_MARK
+        .withColumn("generated_batch", F.lit(None).cast("string"))
+    )
+    return out.select(
+        "url",
+        F.col("final_status").cast("bigint").alias("final_status"),
+        "new_fetch_time",
+        "new_interval",
+        "new_retries",
+        "generated_batch",
+    )
+
+
+ORACLE_RETRY_GONE_SCHEDULE = f"""
+WITH {FRONTIER_SQL},
+st AS (
+  SELECT url, fetch_time, fetch_interval,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN {CrawlStatus.RETRY}
+      WHEN 1 THEN {CrawlStatus.GONE}
+      WHEN 2 THEN {CrawlStatus.NOTMODIFIED}
+      ELSE {CrawlStatus.FETCHED} END AS new_status,
+    CAST(doc_id % 4 AS INTEGER) AS retries
+  FROM frontier
+),
+cls AS (
+  SELECT *,
+    new_status IN ({CrawlStatus.FETCHED}, {CrawlStatus.REDIR_PERM},
+                   {CrawlStatus.REDIR_TEMP}, {CrawlStatus.NOTMODIFIED}) AS fetch_like,
+    new_status = {CrawlStatus.RETRY} AS is_retry,
+    (new_status = {CrawlStatus.GONE}
+     OR (new_status = {CrawlStatus.RETRY} AND retries + 1 >= {CFG.max_retries})) AS is_gone
+  FROM st
+)
+SELECT url,
+  CAST(CASE WHEN is_gone THEN {CrawlStatus.GONE} ELSE new_status END AS BIGINT)
+    AS final_status,
+  CASE WHEN fetch_like THEN fetch_time + fetch_interval * 1000
+       ELSE {NOW} + fetch_interval * 1000 END AS new_fetch_time,
+  CAST(CASE WHEN is_gone
+       THEN least({CFG.max_fetch_interval_sec},
+                  CAST(floor(fetch_interval * {CFG.gone_interval_factor}) AS INTEGER))
+       ELSE fetch_interval END AS BIGINT) AS new_interval,
+  CAST(CASE WHEN is_retry THEN retries + 1 ELSE 0 END AS BIGINT) AS new_retries,
+  NULL AS generated_batch
+FROM cls
+"""
+
+
+# ===========================================================================
+# X3: outlink normalize / dedup / limit (ParseUtil.java:196-274)
+# ===========================================================================
+_X3_CFG = CrawlConfig(max_outlinks_per_page=3)
+
+
+def q_outlink_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raw = docs.select(
+        "doc_id",
+        F.array(
+            # uppercase authority + fragment -> canonical
+            F.concat(F.lit("HTTP://"), F.upper("source"), F.lit(".TEST/doc/"), sid, F.lit("#frag")),
+            # exact dup of the canonical form -> dropped by array_distinct
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/doc/"), sid),
+            # dot segments + session id -> canonical detail URL
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/a/../detail/"), sid, F.lit(";jsessionid=XYZ")),
+            # asset suffix -> dropped
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/script.js")),
+            # unparseable -> canonicalizes to NULL -> dropped
+            F.lit("not a url"),
+            # && and trailing & cleanup
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/media/"), sid, F.lit(".bin?x=1&&y=2&")),
+        ).alias("out_urls"),
+    )
+    out = raw.select(
+        "doc_id",
+        F.explode(process_outlinks_col(F.col("out_urls"), _X3_CFG)).alias("out_url"),
+    )
+    return out
+
+
+ORACLE_OUTLINK_NORMALIZE = """
+SELECT doc_id, 'http://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS out_url
+FROM documents
+UNION ALL
+SELECT doc_id, 'http://' || source || '.test/detail/' || CAST(doc_id AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT doc_id, 'http://' || source || '.test/media/' || CAST(doc_id AS VARCHAR) || '.bin?x=1&y=2'
+FROM documents
+"""
+
+
+# ===========================================================================
+# F14: robots gate — disallow-prefix match, vectorized JVM predicate
+# ===========================================================================
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    path = F.regexp_replace("url", r"^[a-z]+://[^/]+", "")
+    disallow = F.when(
+        F.substring(F.md5("host"), 1, 1).isin(*list("01234567")),
+        F.array(F.lit("/search"), F.lit("/media/")),
+    ).otherwise(F.array().cast("array<string>"))
+    return fr.select(
+        "url", robots_denied_col(path, disallow).alias("denied")
+    )
+
+
+ORACLE_ROBOTS_GATE = f"""
+WITH {FRONTIER_SQL}
+SELECT url,
+  CASE WHEN substr(md5(host), 1, 1) IN ('0','1','2','3','4','5','6','7')
+       THEN (regexp_replace(url, '^[a-z]+://[^/]+', '') LIKE '/search%'
+             OR regexp_replace(url, '^[a-z]+://[^/]+', '') LIKE '/media/%')
+       ELSE FALSE END AS denied
+FROM frontier
+"""
+
+
+# ===========================================================================
+# Q5 + F11: slow-host / unreachable-host eviction condition
+# (TasksMonitor.java:343-366, FetchMonitor.java:437-460)
+# ===========================================================================
+_EVICT_CFG = CrawlConfig(max_host_failures=3, slow_host_avg_ms=245)
+
+
+def q_slow_host_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    hosts = fr.groupBy("host").agg(
+        F.sum((F.col("doc_id") % 17 == 0).cast("long")).alias("failures"),
+        F.count("*").alias("fetch_count"),
+        F.sum((F.col("doc_id") % 1000).cast("long")).alias("total_duration_ms"),
+    )
+    return hosts.filter(host_eviction_cond(_EVICT_CFG)).select(
+        "host", "failures", "fetch_count"
+    )
+
+
+ORACLE_SLOW_HOST_EVICTION = f"""
+WITH {FRONTIER_SQL},
+hs AS (
+  SELECT host,
+         sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS failures,
+         count(*) AS fetch_count,
+         sum(doc_id % 1000) AS total_duration_ms
+  FROM frontier GROUP BY host
+)
+SELECT host, failures, fetch_count FROM hs
+WHERE failures >= {_EVICT_CFG.max_host_failures}
+   OR (fetch_count >= 3
+       AND total_duration_ms / greatest(fetch_count, 1) > {_EVICT_CFG.slow_host_avg_ms})
+"""
+
+
+# ===========================================================================
+# SimHash Hamming-neighbor candidate join: banded LSH over the 64-bit
+# signature (4 bands x 16 bits), bucket-join, Hamming verify <= k.
+# Scale shape: same banded bucket-join as MinHash-LSH — never all-pairs.
+# ===========================================================================
+_SIMHASH_BANDS = 4
+_SIMHASH_K = 12
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash_bits(docs).persist()
+    bands = None
+    for b in range(_SIMHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.substring("simhash_bits", b * 16 + 1, 16).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash_bits").alias("bits_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash_bits").alias("bits_b"))
+    verified = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "cardinality(filter(sequence(1, 64),"
+                " i -> substring(bits_a, i, 1) != substring(bits_b, i, 1)))"
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_K)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return verified
+
+
+def _simhash_pairs_sql() -> str:
+    base = simhash_sql()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash_bits, {b * 16 + 1}, 16) AS key FROM sig"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({base}),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(bit_count(xor(CAST(sa.simhash_bits AS BIT), CAST(sb.simhash_bits AS BIT))) AS BIGINT)
+    AS hamming
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+WHERE bit_count(xor(CAST(sa.simhash_bits AS BIT), CAST(sb.simhash_bits AS BIT))) <= {_SIMHASH_K}
+"""
+
+
+EXT_QUERIES = {
+    "urlfilter_regex": q_urlfilter_regex,
+    "url_partition_key": q_url_partition_key,
+    "urlfilter_plugins": q_urlfilter_plugins,
+    "generate_eligibility": q_generate_eligibility,
+    "detail_quota": q_detail_quota,
+    "retry_gone_schedule": q_retry_gone_schedule,
+    "outlink_normalize": q_outlink_normalize,
+    "robots_gate": q_robots_gate,
+    "slow_host_eviction": q_slow_host_eviction,
+    "simhash_pairs": q_simhash_pairs,
+}
+
+EXT_ORACLES = {
+    "urlfilter_regex": ORACLE_URLFILTER_REGEX,
+    "url_partition_key": ORACLE_URL_PARTITION_KEY,
+    "urlfilter_plugins": ORACLE_URLFILTER_PLUGINS,
+    "generate_eligibility": ORACLE_GENERATE_ELIGIBILITY,
+    "detail_quota": ORACLE_DETAIL_QUOTA,
+    "retry_gone_schedule": ORACLE_RETRY_GONE_SCHEDULE,
+    "outlink_normalize": ORACLE_OUTLINK_NORMALIZE,
+    "robots_gate": ORACLE_ROBOTS_GATE,
+    "slow_host_eviction": ORACLE_SLOW_HOST_EVICTION,
+    "simhash_pairs": _simhash_pairs_sql(),
+}
