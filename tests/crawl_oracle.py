@@ -26,6 +26,14 @@ from warps_nutch_spark.functions.status import (
 )
 
 
+def f32(x: float) -> float:
+    """Quantize to float32: the frontier schema stores score/cash as
+    float (webpage.avsc float fields), so the oracle must round-trip
+    through f32 at every store point or queue tie-breaks diverge at
+    budget cutoffs."""
+    return float(np.float32(x))
+
+
 class OracleRow:
     __slots__ = (
         "url", "host", "status", "fetch_time", "fetch_interval", "retries",
@@ -192,11 +200,17 @@ class CrawlOracle:
                     else cfg.external_score_factor
                 )
                 contribs.setdefault(u, []).append(
-                    (pos_score + unit * factor, r.distance + 1, r.is_seed)
+                    (f32(pos_score + unit * factor), r.distance + 1, r.is_seed)
                 )
 
         for r, proto, ts, outlinks in results:
             crawl = PROTOCOL_TO_CRAWL.get(proto, CrawlStatus.RETRY)
+            # OPIC distribute resets cash on EVERY fetch attempt,
+            # outlinks or not (OPICScoringFilter.distributeScoreToOutlinks
+            # runs unconditionally in the updatedb map) — including
+            # RETRY/GONE rows, matching operators/updatedb.py
+            # updated_fetched_rows.
+            r.cash = 0.0
             if crawl == CrawlStatus.RETRY:
                 r.retries += 1
                 if r.retries >= cfg.max_retries:
@@ -220,7 +234,6 @@ class CrawlOracle:
                 iv = max(cfg.adaptive_min_interval_sec, min(cfg.adaptive_max_interval_sec, iv))
                 r.fetch_interval = iv
                 r.fetch_time = ts + iv * 1000
-                r.cash = 0.0
                 if proto == ProtocolStatus.SUCCESS:
                     r.has_sig = True
             elif crawl == CrawlStatus.GONE:
@@ -245,8 +258,8 @@ class CrawlOracle:
                 if not self.cfg.additions_allowed:
                     continue
                 row = OracleRow(u, self.host_of(u))
-                row.score = s
-                row.cash = s
+                row.score = f32(s)
+                row.cash = f32(s)
                 row.distance = dmin
                 row.priority = (
                     self.cfg.priority_from_seed if from_seed else self.cfg.priority_default
@@ -254,8 +267,8 @@ class CrawlOracle:
                 row.fetch_time = now
                 self.frontier[u] = row
             else:
-                row.score += s
-                row.cash += s
+                row.score = f32(row.score + s)
+                row.cash = f32(row.cash + s)
                 row.distance = min(row.distance, dmin)
         return {
             "fetched_set": {r.url for r, p, t, o in results},

@@ -95,6 +95,8 @@ def test_scores_match_oracle(crawl_state):
         srow = spark_rows[url]
         if abs(srow["score"] - orow.score) > max(1e-3, abs(orow.score) * 1e-5):
             mism.append((url, "score", srow["score"], orow.score))
+        if abs(srow["cash"] - orow.cash) > max(1e-3, abs(orow.cash) * 1e-5):
+            mism.append((url, "cash", srow["cash"], orow.cash))
         if srow["distance"] != min(orow.distance, 99999):
             mism.append((url, "distance", srow["distance"], orow.distance))
         if srow["status"] != orow.status:

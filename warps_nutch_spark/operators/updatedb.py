@@ -192,15 +192,21 @@ def updatedb(
     now_ms: int,
     batch_id: str,
     urlseen: BloomUrlSeen | None = None,
+    cached_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (merge_rows, counters). ``merge_rows`` are full
     frontier-schema rows: updated fetched pages + updated existing
-    link targets + newly discovered rows."""
+    link targets + newly discovered rows. Persisted intermediates are
+    appended to ``cached_out`` (if given) so the caller can unpersist
+    them once the merge plan is materialized — a long-running driver
+    (many rounds per session) must not accumulate cached blocks."""
     contribs = explode_contributions(parsed, cfg)
     # agg feeds three consumers (existing-row update, new-row insert,
     # fetched-row inlink fold) — persist so the explode+groupBy shuffle
     # runs once, not per branch
     agg = aggregate_contributions(contribs, cfg).persist()
+    if cached_out is not None:
+        cached_out.append(agg)
 
     fetched_updates = updated_fetched_rows(parsed, cfg, now_ms, batch_id)
 
@@ -236,6 +242,8 @@ def updatedb(
             screened = urlseen.maybe_seen(
                 agg.withColumnRenamed("to_url_hash", "url_hash"), "url_hash"
             ).persist()
+            if cached_out is not None:
+                cached_out.append(screened)
             cand = screened.filter(~F.col("maybe_seen")).drop("maybe_seen").unionByName(
                 screened.filter(F.col("maybe_seen"))
                 .drop("maybe_seen")

@@ -113,34 +113,63 @@ class RoundDriver:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _stage_data_ok(self, batch_id: str, stage: str) -> bool:
+        """True when the stage's data artifact committed (_SUCCESS) —
+        a resume can reuse it instead of recomputing (critical for
+        updatedb, where recomputing against the already-merged frontier
+        would double-apply inlink contributions)."""
+        return os.path.exists(
+            os.path.join(self._stage_dir(batch_id, stage), "data", "_SUCCESS")
+        )
+
     def _read_stage(self, batch_id: str, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._stage_dir(batch_id, stage), "data"))
 
-    def _append_metrics(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
+    def _append_metrics(self, df: DataFrame, batch_id: str, stage: str) -> None:
+        """Metrics are keyed by (batch, stage) and written with
+        overwrite, so a resumed stage rewrites its own slice instead of
+        blind-appending a duplicate."""
+        path = os.path.join(self.workdir, "metrics", f"{batch_id}_{stage}")
+        df.write.mode("overwrite").parquet(path)
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(self.workdir, "metrics")
+        )
 
     def payloads(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.workdir, "payloads"))
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(self.workdir, "payloads")
+        )
 
     # ---- unreachable hosts ------------------------------------------
-    def _hosts_path(self) -> str:
-        """Latest version of the host-state table (versioned dirs so an
-        update is one write, not write-tmp + read + rewrite)."""
+    def _host_versions(self) -> list[str]:
+        """Committed host-state versions (dir carries the batch id so a
+        resumed fetch stage can tell its update already landed; only
+        dirs with _SUCCESS count, so a mid-write kill is invisible)."""
         base = os.path.join(self.workdir, "hosts")
         if not os.path.isdir(base):
-            return os.path.join(base, "v0000")
-        versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
+            return []
+        return sorted(
+            d
+            for d in os.listdir(base)
+            if d.startswith("v") and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+
+    def _hosts_path(self) -> str:
+        base = os.path.join(self.workdir, "hosts")
+        versions = self._host_versions()
         return os.path.join(base, versions[-1]) if versions else os.path.join(base, "v0000")
 
-    def _next_hosts_path(self) -> str:
+    def _hosts_batch_done(self, batch_id: str) -> bool:
+        return any(v.endswith(f"-{batch_id}") for v in self._host_versions())
+
+    def _next_hosts_path(self, batch_id: str) -> str:
         base = os.path.join(self.workdir, "hosts")
         os.makedirs(base, exist_ok=True)
-        versions = sorted(d for d in os.listdir(base) if d.startswith("v"))
-        n = int(versions[-1][1:]) + 1 if versions else 0
-        return os.path.join(base, f"v{n:04d}")
+        versions = self._host_versions()
+        n = int(versions[-1][1:5]) + 1 if versions else 0
+        return os.path.join(base, f"v{n:04d}-{batch_id}")
 
     def unreachable_hosts(self) -> DataFrame | None:
         """Detached hosts: unreachable (>= max failures,
@@ -154,6 +183,8 @@ class RoundDriver:
         return hosts.filter(host_eviction_cond(self.cfg)).select("host")
 
     def _update_host_failures(self, fetch_results: DataFrame, batch_id: str) -> None:
+        if self._hosts_batch_done(batch_id):
+            return  # resume: this batch's host update already committed
         stats = (
             fetch_results.filter(F.col("fetched"))
             .groupBy("host")
@@ -190,7 +221,22 @@ class RoundDriver:
                 F.col("new_duration").alias("total_duration_ms"),
                 F.col("new_count").alias("fetch_count"),
             )
-        merged.write.mode("overwrite").parquet(self._next_hosts_path())
+        merged.write.mode("overwrite").parquet(self._next_hosts_path(batch_id))
+
+    def _updatedb_counters(self, merge_rows: DataFrame, batch_id: str) -> DataFrame:
+        """R11 status counters recomputed from the committed updatedb
+        artifact (resume path)."""
+        return (
+            merge_rows.filter(F.col("updated_batch") == batch_id)
+            .groupBy("status")
+            .agg(F.count("*").alias("value"))
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                F.lit("updatedb").alias("stage"),
+                F.col("status").cast("string").alias("counter"),
+                F.col("value"),
+            )
+        )
 
     # ---- stages ---------------------------------------------------------
     def inject(self, seeds, batch_id: str = "inject") -> None:
@@ -209,16 +255,17 @@ class RoundDriver:
 
         # -- generate ----------------------------------------------------
         if not self._done(batch_id, "generate"):
-            fl = gen_op.generate(
-                self.store.read(), self.cfg, now, batch_id,
-                self.unreachable_hosts(), current_round=r,
-            )
-            # The GENERATE_MARK lives in the fetchlist artifact until
-            # updatedb folds it into the single per-round MERGE (one
-            # frontier rewrite per round instead of two; intra-round
-            # resume is covered by the artifact + _DONE marker, the
-            # F13 guard semantics are unchanged for the next round).
-            self._write_stage(fl, batch_id, "generate")
+            if not self._stage_data_ok(batch_id, "generate"):
+                fl = gen_op.generate(
+                    self.store.read(), self.cfg, now, batch_id,
+                    self.unreachable_hosts(), current_round=r,
+                )
+                # The GENERATE_MARK lives in the fetchlist artifact until
+                # updatedb folds it into the single per-round MERGE (one
+                # frontier delta per round instead of two; intra-round
+                # resume is covered by the artifact + _DONE marker, the
+                # F13 guard semantics are unchanged for the next round).
+                self._write_stage(fl, batch_id, "generate")
             self._mark_done(batch_id, "generate")
         stage_times["generate"] = time.time() - t0
         fetchlist = self._read_stage(batch_id, "generate")
@@ -226,11 +273,14 @@ class RoundDriver:
         # -- fetch ---------------------------------------------------------
         t_f = time.time()
         if not self._done(batch_id, "fetch"):
-            res = fetch_op.fetch(
-                fetchlist, self._robots_df(), self.cfg, now, batch_id, self.web_params
-            )
-            with python_stage_parallelism(self.spark):
-                res = self._write_stage(res, batch_id, "fetch")
+            if self._stage_data_ok(batch_id, "fetch"):
+                res = self._read_stage(batch_id, "fetch")  # resume: reuse
+            else:
+                res = fetch_op.fetch(
+                    fetchlist, self._robots_df(), self.cfg, now, batch_id, self.web_params
+                )
+                with python_stage_parallelism(self.spark):
+                    res = self._write_stage(res, batch_id, "fetch")
             self._update_host_failures(res, batch_id)
             self._append_metrics(
                 res.filter(F.col("fetched"))
@@ -241,7 +291,9 @@ class RoundDriver:
                     F.lit("fetch").alias("stage"),
                     F.col("new_status").cast("string").alias("counter"),
                     "value",
-                )
+                ),
+                batch_id,
+                "fetch",
             )
             self._mark_done(batch_id, "fetch")
         stage_times["fetch"] = time.time() - t_f
@@ -250,11 +302,18 @@ class RoundDriver:
         # -- parse -----------------------------------------------------------
         t_p = time.time()
         if not self._done(batch_id, "parse"):
-            parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
-            with python_stage_parallelism(self.spark):
-                parsed = self._write_stage(parsed, batch_id, "parse")
+            if self._stage_data_ok(batch_id, "parse"):
+                parsed = self._read_stage(batch_id, "parse")  # resume: reuse
+            else:
+                parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
+                with python_stage_parallelism(self.spark):
+                    parsed = self._write_stage(parsed, batch_id, "parse")
             payloads = parse_op.payload_rows(parsed)
-            payloads.write.mode("append").parquet(os.path.join(self.workdir, "payloads"))
+            # batch-keyed overwrite (not append): a resumed parse stage
+            # rewrites its own payload slice, never duplicates it
+            payloads.write.mode("overwrite").parquet(
+                os.path.join(self.workdir, "payloads", batch_id)
+            )
             self._mark_done(batch_id, "parse")
         stage_times["parse"] = time.time() - t_p
         parsed = self._read_stage(batch_id, "parse")
@@ -262,26 +321,61 @@ class RoundDriver:
         # -- updatedb ----------------------------------------------------------
         t_u = time.time()
         if not self._done(batch_id, "updatedb"):
-            frontier = self.store.read()
-            merge_rows, counters = upd_op.updatedb(
-                frontier, parsed, self.cfg, now, batch_id, self.urlseen
-            )
-            # budget-dropped fetchlist rows keep their GENERATE_MARK
-            # (FeederThread drain semantics): fold them into the same
-            # merge so the frontier is rewritten once per round.
-            # persist: the anti-join below reuses the merge plan.
-            merge_rows = merge_rows.persist()
-            dropped = fetchlist.select(*frontier.columns).join(
-                merge_rows.select("url_hash"), on="url_hash", how="left_anti"
-            )
-            merge_rows = merge_rows.unionByName(dropped.select(*merge_rows.columns))
-            with python_stage_parallelism(self.spark):
-                merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
-            self.store.merge(merge_rows, {"op": "updatedb", "batch_id": batch_id})
+            cached: list[DataFrame] = []
+            if self._stage_data_ok(batch_id, "updatedb"):
+                # resume after the artifact committed: NEVER recompute —
+                # the frontier may already contain this batch's merge,
+                # and recomputing against it would double-apply inlink
+                # contributions. The artifact is the single source.
+                merge_rows = self._read_stage(batch_id, "updatedb")
+                counters = self._updatedb_counters(merge_rows, batch_id)
+            else:
+                frontier = self.store.read()
+                merge_rows, counters = upd_op.updatedb(
+                    frontier, parsed, self.cfg, now, batch_id, self.urlseen,
+                    cached_out=cached,
+                )
+                # Budget-dropped fetchlist rows (generated but never
+                # reached by the round's fetch budget) keep their
+                # GENERATE_MARK — FeederThread drain semantics. The
+                # dropped set is fetchlist MINUS actually-fetched rows
+                # (parsed); a dropped row that also received inlinks
+                # this round sits in updatedb's 'existing' branch with
+                # the frontier's stale mark, so restore the fetchlist's
+                # mark there too.
+                merge_rows = merge_rows.persist()
+                cached.append(merge_rows)
+                dropped = fetchlist.select(*frontier.columns).join(
+                    parsed.select("url_hash"), on="url_hash", how="left_anti"
+                )
+                marks = dropped.select(
+                    "url_hash", F.col("generated_batch").alias("_keep_mark")
+                )
+                merge_rows = (
+                    merge_rows.join(marks, on="url_hash", how="left")
+                    .withColumn(
+                        "generated_batch",
+                        F.coalesce(F.col("_keep_mark"), F.col("generated_batch")),
+                    )
+                    .drop("_keep_mark")
+                )
+                dropped_rest = dropped.join(
+                    merge_rows.select("url_hash"), on="url_hash", how="left_anti"
+                )
+                merge_rows = merge_rows.unionByName(
+                    dropped_rest.select(*merge_rows.columns)
+                )
+                with python_stage_parallelism(self.spark):
+                    merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
+            if ("updatedb", batch_id) not in self.store.committed_ops():
+                self.store.merge(merge_rows, {"op": "updatedb", "batch_id": batch_id})
+            # Bloom OR is idempotent: re-merging the same keys is a no-op
             self.urlseen.merge_round(
                 merge_rows.select("url_hash"), "url_hash", batch_id
             )
-            self._append_metrics(counters)
+            self._append_metrics(counters, batch_id, "updatedb")
+            for df in cached:
+                df.unpersist()
             self._mark_done(batch_id, "updatedb")
         stage_times["updatedb"] = time.time() - t_u
 

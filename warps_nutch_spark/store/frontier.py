@@ -5,29 +5,40 @@ the Spark analog of the reference's Gora/HBase web table
 
 Two implementations behind one interface:
 
-- :class:`ParquetFrontierStore` — versioned parquet snapshots with an
-  atomic version pointer and a lineage log per snapshot. ``merge`` is
-  copy-on-write: untouched rows are carried by a left-anti join (the
-  ground-truth URL-seen membership check, replacing the reference's
-  per-row HBase point-get at ``DbUpdateReducer.java:98``), updated/new
-  rows appended. Snapshots are partitioned by ``host_bucket`` =
-  pmod(xxhash64(host), K) so host-range scans prune partitions (the
-  analog of the reversed-key range scan, ``CrawlFilters.java:147-175``).
-  This is what runs in the sandbox, and it doubles as the
-  checkpoint/resume mechanism: every snapshot is a resume point.
+- :class:`ParquetFrontierStore` — **merge-on-read** over versioned
+  parquet snapshots with an atomic version pointer and a lineage log
+  per version. ``merge`` appends the update rows as a *delta*
+  snapshot (cost O(updates), never O(frontier) — the r1 copy-on-write
+  form rewrote the full table every round, the measured scale-killer);
+  ``read`` reconstructs the current table as
+
+      base  ⟕anti  delta-keys   ∪   latest-version delta rows
+
+  i.e. exactly Iceberg's equality-delete MOR scan: the anti-join
+  against the (small) delta key set is a broadcast hash join while
+  deltas are small, and AQE falls back to a shuffle join when they
+  grow. When total delta rows exceed ``compact_ratio`` × base rows,
+  ``compact()`` materializes the merged view as a new base — amortized
+  O(frontier) every ~1/ratio rounds instead of every round.
+  Snapshots are partitioned by ``host_bucket`` = pmod(xxhash64(host),
+  K) so host-range scans prune partitions (the analog of the
+  reversed-key range scan, ``CrawlFilters.java:147-175``). Every
+  version is a resume point, and lineage records (op, batch_id) so a
+  resumed round can skip an already-committed merge (idempotent
+  updatedb).
 
 - :class:`IcebergFrontierStore` — issues real ``MERGE INTO`` SQL
-  against an Iceberg catalog (merge-on-read), for a production cluster
-  where rewriting 100 TB per round is not acceptable. Requires the
-  iceberg-spark-runtime jar on the cluster; import/use is config-gated
-  so the sandbox never touches it.
+  against an Iceberg catalog (merge-on-read natively), for a
+  production cluster. Requires the iceberg-spark-runtime jar; the
+  parquet store above emulates its MOR semantics exactly, and a pytest
+  asserts merge-output equality between the MOR read and a reference
+  copy-on-write merge.
 
-Scale note (100 TB / 10^10 rows): the copy-on-write form shuffles the
-full table per merge — acceptable up to ~10^8 rows per bucket-job, not
-at 10^10. The Iceberg form turns the same logical MERGE into MOR
-deletes + appends, and the left-anti/anti-join is pre-screened by the
-partitioned Bloom filter (``store/urlseen.py``) so the shuffle only
-carries candidate keys, not the frontier.
+Scale note (100 TB / 10^10 rows): per-round write cost is O(updates);
+per-read overhead is one anti-join whose build side is the delta key
+set (≤ compact_ratio × base). At the reference's sizing (10^7 new
+URLs/round against 10^10 stored) the delta keys broadcast and the MOR
+read is within noise of a plain scan.
 """
 
 from __future__ import annotations
@@ -36,7 +47,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -51,10 +62,17 @@ class FrontierStore:
 
 
 class ParquetFrontierStore(FrontierStore):
-    def __init__(self, spark: SparkSession, path: str, host_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        host_buckets: int = 64,
+        compact_ratio: float = 0.5,
+    ):
         self.spark = spark
         self.path = path
         self.host_buckets = host_buckets
+        self.compact_ratio = compact_ratio
         os.makedirs(path, exist_ok=True)
 
     # -- version bookkeeping ------------------------------------------
@@ -72,10 +90,22 @@ class ParquetFrontierStore(FrontierStore):
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:06d}")
 
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self._snapshot_dir(version), "data")
+
     def lineage(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         with open(os.path.join(self._snapshot_dir(v), "_LINEAGE.json")) as f:
             return json.load(f)
+
+    def lineage_chain(self) -> list[dict]:
+        """All committed lineages, oldest first."""
+        return [self.lineage(v) for v in range(self.current_version() + 1)]
+
+    def committed_ops(self) -> set[tuple[str, str | None]]:
+        """(op, batch_id) pairs already committed — the idempotency
+        check a resumed round uses to skip a re-merge."""
+        return {(ln.get("op"), ln.get("batch_id")) for ln in self.lineage_chain()}
 
     def _commit_version(self, version: int, lineage: dict) -> None:
         with open(os.path.join(self._snapshot_dir(version), "_LINEAGE.json"), "w") as f:
@@ -85,6 +115,21 @@ class ParquetFrontierStore(FrontierStore):
             json.dump({"version": version, "committed_at": time.time()}, f)
         os.replace(tmp, self._version_file)  # atomic pointer swap
 
+    def _layout(self) -> tuple[int, list[int]]:
+        """(base_version, delta_versions since it). The base is the
+        most recent snapshot with kind == 'base'."""
+        chain = self.lineage_chain()
+        base_v = 0
+        for ln in chain:
+            if ln.get("kind", "base") == "base":
+                base_v = ln["version"]
+        deltas = [
+            ln["version"]
+            for ln in chain
+            if ln["version"] > base_v and ln.get("kind") == "delta"
+        ]
+        return base_v, deltas
+
     # -- operations ------------------------------------------------------
     def with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -93,40 +138,77 @@ class ParquetFrontierStore(FrontierStore):
         )
 
     def read(self) -> DataFrame:
+        """MOR scan: base rows not shadowed by a delta key, plus the
+        newest delta row per key."""
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"frontier not initialized at {self.path}")
-        return self.spark.read.parquet(os.path.join(self._snapshot_dir(v), "data"))
+        base_v, deltas = self._layout()
+        base = self.spark.read.parquet(self._data_dir(base_v))
+        if not deltas:
+            return base
+        dl = None
+        for dv in deltas:
+            d = self.spark.read.parquet(self._data_dir(dv)).withColumn(
+                "_delta_v", F.lit(dv)
+            )
+            dl = d if dl is None else dl.unionByName(d)
+        # newest delta wins per key; the delta set is O(updates since
+        # last compaction), so this window shuffles deltas, not the base
+        win = Window.partitionBy("url_hash").orderBy(F.desc("_delta_v"))
+        latest = (
+            dl.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_delta_v")
+        )
+        kept = base.join(latest.select("url_hash"), on="url_hash", how="left_anti")
+        return kept.unionByName(latest.select(*base.columns))
 
     def init(self, df: DataFrame, lineage: dict | None = None) -> int:
-        return self._write_snapshot(self.with_bucket(df), lineage or {"op": "init"})
+        return self._write_snapshot(
+            self.with_bucket(df), dict(lineage or {"op": "init"}), kind="base"
+        )
 
-    def _write_snapshot(self, df: DataFrame, lineage: dict) -> int:
+    def _write_snapshot(self, df: DataFrame, lineage: dict, kind: str) -> int:
         v = self.current_version() + 1
-        out = os.path.join(self._snapshot_dir(v), "data")
+        out = self._data_dir(v)
         (
             df.repartition(F.col("host_bucket"))
             .write.mode("overwrite")
             .partitionBy("host_bucket")
             .parquet(out)
         )
+        # parquet-metadata count (no data scan)
+        rows = self.spark.read.parquet(out).count()
         lineage = dict(lineage)
-        lineage.setdefault("version", v)
+        lineage["version"] = v
+        lineage["kind"] = kind
+        lineage["rows"] = rows
         self._commit_version(v, lineage)
         return v
 
     def merge(self, updates: DataFrame, lineage: dict | None = None) -> int:
         """Upsert full rows keyed by url_hash (WHEN MATCHED -> replace,
-        WHEN NOT MATCHED -> insert). ``updates`` must carry complete
-        frontier-schema rows; the merge itself is mechanical so update
-        logic stays in the operators (one place to audit semantics)."""
-        current = self.read()
-        updates = self.with_bucket(updates.drop("host_bucket"))
-        kept = current.join(
-            updates.select("url_hash"), on="url_hash", how="left_anti"
-        )
-        merged = kept.unionByName(updates.select(*current.columns))
-        return self._write_snapshot(merged, lineage or {"op": "merge"})
+        WHEN NOT MATCHED -> insert) as an O(updates) delta append; the
+        shadowing happens at read (MOR). ``updates`` must carry
+        complete frontier-schema rows; the merge itself is mechanical
+        so update logic stays in the operators."""
+        base_v, deltas = self._layout()
+        cols = self.spark.read.parquet(self._data_dir(base_v)).columns
+        updates = self.with_bucket(updates.drop("host_bucket")).select(*cols)
+        v = self._write_snapshot(updates, dict(lineage or {"op": "merge"}), kind="delta")
+        base_rows = self.lineage(base_v).get("rows", 0)
+        delta_rows = sum(self.lineage(dv).get("rows", 0) for dv in deltas)
+        delta_rows += self.lineage(v).get("rows", 0)
+        if delta_rows > self.compact_ratio * max(base_rows, 1):
+            self.compact()
+        return self.current_version()
+
+    def compact(self, lineage: dict | None = None) -> int:
+        """Materialize the MOR view as a new base snapshot (Iceberg's
+        rewrite_data_files analog)."""
+        df = self.read()
+        return self._write_snapshot(df, dict(lineage or {"op": "compact"}), kind="base")
 
 
 class IcebergFrontierStore(FrontierStore):

@@ -68,10 +68,19 @@ def run_ingest(
     now_ms: int,
     checkpoint_dir: str,
     available_now: bool = True,
+    urlseen=None,
 ):
     """Start (or run-to-completion) the ingest query. Each micro-batch
     becomes new UNFETCHED frontier rows via the same MERGE/anti-join
-    dedup as the batch updatedb path."""
+    dedup as the batch updatedb path.
+
+    ``urlseen``: the shared :class:`~..store.urlseen.BloomUrlSeen`, if
+    the workdir is also driven by a Bloom-screened RoundDriver. EVERY
+    frontier-insertion path must feed the filter or its
+    no-false-negative invariant breaks (batch updatedb treats
+    maybe_seen=False as definitely-new and skips the exact anti-join,
+    so a stream-inserted URL would be re-inserted as a fresh row whose
+    MERGE clobbers the stored state)."""
     deduped = canonical_discoveries(discoveries_stream(spark, drop_dir))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -92,9 +101,15 @@ def run_ingest(
             current = store.read()
         except FileNotFoundError:
             store.init(rows, {"op": "stream-init", "stream_batch": batch_id})
+            if urlseen is not None:
+                urlseen.merge_round(rows.select("url_hash"), "url_hash", f"stream-{batch_id}")
             return
         new_rows = rows.join(current.select("url_hash"), on="url_hash", how="left_anti")
         store.merge(new_rows, {"op": "stream-ingest", "stream_batch": batch_id})
+        if urlseen is not None:
+            urlseen.merge_round(
+                new_rows.select("url_hash"), "url_hash", f"stream-{batch_id}"
+            )
 
     writer = (
         deduped.writeStream.outputMode("append")
