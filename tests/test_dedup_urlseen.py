@@ -72,3 +72,40 @@ def test_bloom_incremental_merge(spark, workdir):
     out = bloom.maybe_seen(probe, "k").toPandas()
     assert out.maybe_seen.all()
     assert len(bloom.manifest()["rounds"]) == 2
+
+
+def test_lsh_cosine_dedup_recall_and_precision(spark):
+    """The bucketed near-dup pipeline (sign-LSH bands -> exact-cosine
+    verify) must (a) return ONLY pairs above the threshold (precision
+    1.0 by construction — verify is exact) and (b) find nearly all
+    true near-dup pairs on a corpus of jittered copies (recall of the
+    banded LSH at cos >= 0.95 with 4 bands x 4 bits is ~0.99)."""
+    import numpy as np
+
+    from warps_nutch_spark.operators.ann import allpairs_cosine, lsh_cosine_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if i % 2 == 0:  # jittered near-dup (cos ~ 0.995)
+            w = v + rng.normal(scale=0.05, size=64)
+            rows.append((vid, [float(x) for x in w])); vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    planes = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_cosine_dedup(emb, planes, 4, 4, 0.9).collect()
+    }
+    truth = {(r.vec_a, r.vec_b) for r in allpairs_cosine(emb, 0.9).collect()}
+    assert truth, "constructed corpus has no near-dup pairs — vacuous"
+    # precision: every returned pair is a true >0.9 pair (exact verify)
+    assert got <= truth
+    # recall: banded LSH finds nearly all of them
+    assert len(got) / len(truth) >= 0.9, (len(got), len(truth))

@@ -205,3 +205,51 @@ def test_parse_outlink_pipeline_dedup_limit(spark):
     parsed = parse_op.parse(df, cfg, "b1").toPandas()
     links = [l["url"] for l in parsed.outlinks.iloc[0]]
     assert links == ["http://x.test/a", "http://x.test/b", "http://x.test/c"]
+
+
+def test_host_config_overrides_queue_delay(spark):
+    """TasksMonitor.java:480-496: per-host q_cd overrides the default
+    crawl delay; q_mt > 1 switches the spacing to q_mcd
+    (FetchQueue.java:339-346)."""
+    cfg = make_test_config(crawl_delay_ms=1000, min_crawl_delay_ms=100)
+    web = simweb.SimWeb(*WEB)
+    j = np.arange(60)
+    ok0 = web.http_status(np.full(60, 0), j) == 200
+    ok1 = web.http_status(np.full(60, 1), j) == 200
+    urls = [f"http://host0.test/{simweb.CATEGORIES[x % 8]}/{x}" for x in j[ok0][:8]]
+    urls += [f"http://host1.test/{simweb.CATEGORIES[x % 8]}/{x}" for x in j[ok1][:8]]
+    fl = _fetchlist(spark, cfg, urls)
+    host_cfg = spark.createDataFrame(
+        [("host0.test", None, 3000, None), ("host1.test", 4, None, 200)],
+        "host string, q_mt int, q_cd long, q_mcd long",
+    )
+    res = fetch_op.fetch(fl, None, cfg, NOW, "b1", WEB, host_config=host_cfg).toPandas()
+    for host, want in [("host0.test", 3000), ("host1.test", 200)]:
+        ts = sorted(res[(res.host == host) & res.fetched].fetch_ts)
+        diffs = np.diff(ts)
+        assert len(diffs) > 0 and (diffs >= want).all(), (host, diffs)
+        # spacing is exactly the override (virtual clock, zero durations)
+        assert (diffs == want).all(), (host, diffs)
+
+
+def test_queue_spacing_column_matches_scalar(spark):
+    """queue_spacing_cols (oracle form) and _resolve_queue_spacing
+    (group-UDF form) implement the same resolution."""
+    import itertools
+
+    import pandas as pd
+
+    cfg = make_test_config(crawl_delay_ms=5000, min_crawl_delay_ms=500)
+    cases = list(itertools.product([None, 2000], [None, 4], [None, 250], [None, 3000]))
+    pdf = pd.DataFrame(cases, columns=["q_cd", "q_mt", "q_mcd", "robots_delay"])
+    df = spark.createDataFrame(
+        pdf.assign(i=range(len(pdf))),
+        "q_cd long, q_mt int, q_mcd long, robots_delay long, i long",
+    )
+    _, _, spacing = fetch_op.queue_spacing_cols(
+        F.col("q_cd"), F.col("q_mt"), F.col("q_mcd"), F.col("robots_delay"), cfg
+    )
+    got = {r["i"]: r["s"] for r in df.select("i", spacing.alias("s")).collect()}
+    for i, row in pdf.iterrows():
+        one = pd.DataFrame({k: [row[k]] for k in pdf.columns})
+        assert got[i] == fetch_op._resolve_queue_spacing(one, cfg), dict(row)

@@ -179,3 +179,26 @@ def test_generate_detail_quota_demotes(spark, workdir):
     assert len(details) <= 3
     kept_best = {f"http://host0.test/detail/{i}" for i in (3, 4)}
     assert kept_best <= set(fl.url)
+
+
+def test_bandwidth_cap_limits_fetchlist(spark):
+    """Q6: with fetcher.net.bandwidth.m configured, generate's topN is
+    tightened to 30 x bandwidth_bytes / (avgPageBytes x 8)
+    (TaskScheduler.java:391-394 inverted into a per-round cap)."""
+    from warps_nutch_spark.config import make_test_config
+    from warps_nutch_spark.operators import generate as gen_op
+    from warps_nutch_spark.operators.generate import bandwidth_row_cap
+    from warps_nutch_spark.operators.rows import complete_rows
+
+    cfg = make_test_config(top_n=100, max_per_host=100, bandwidth_mbytes=1)
+    avg_bytes = 500_000.0  # cap = 30 * 1MiB / (500k * 8) = 7
+    assert bandwidth_row_cap(avg_bytes, cfg) == int(30 * 1024 * 1024 / (avg_bytes * 8))
+    df = spark.createDataFrame(
+        [(f"http://h{i % 5}.test/doc/{i}",) for i in range(200)], ["url"]
+    )
+    fr = complete_rows(df, cfg, 1_700_000_000_000)
+    out = gen_op.generate(fr, cfg, 1_700_000_000_001, "b1", avg_page_bytes=avg_bytes)
+    assert out.count() == bandwidth_row_cap(avg_bytes, cfg)
+    # throttle off -> full topN
+    out_full = gen_op.generate(fr, cfg, 1_700_000_000_001, "b1")
+    assert out_full.count() == cfg.top_n

@@ -254,3 +254,53 @@ def test_updatedb_dedup_no_duplicate_urlhash(spark):
     byu = pdf.set_index("url")
     assert byu.loc["http://a.test/p", "score"] == pytest.approx(1.0 + 1 + 10)
     assert byu.loc["http://a.test/q", "cash"] == pytest.approx(0.0 + 1 + 10)
+
+
+def test_inlinks_state_and_repr_url(spark):
+    """Capped inlink (url, anchor) state persists on link targets
+    (webpage.avsc inlinks), and redirect rows get a repr_url chosen by
+    the URLUtil.chooseRepr rule."""
+    cfg = make_test_config(max_stored_inlinks=2)
+    frontier = complete_rows(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": ["http://a.test/p", "http://a.test/q", "http://a.test/known"],
+                    "cash": [12.0, 6.0, 0.0],
+                    "score": [1.0, 1.0, 1.0],
+                }
+            )
+        ),
+        cfg,
+        NOW - 5000,
+    )
+    parsed = _parsed_df(
+        spark,
+        [
+            # two pages link to 'known'; cap 2 keeps both, best first
+            _parsed_row("http://a.test/p", ["http://a.test/known", "http://a.test/new"], cash=12.0),
+            _parsed_row("http://a.test/q", ["http://a.test/known"], cash=6.0),
+            # temp redirect: repr chosen between src and target
+            _parsed_row(
+                "http://a.test/r/old/page", ["http://a.test/r2"],
+                status=CrawlStatus.REDIR_TEMP,
+            ),
+        ],
+    )
+    merged, _ = upd_op.updatedb(frontier, parsed, cfg, NOW, "b1")
+    rows = {r["url"]: r for r in merged.collect()}
+    known = rows["http://a.test/known"]
+    inl = [i["url"] for i in known["inlinks"]]
+    # p contributes 2 + 12/2 = 8; q contributes 1 + 6 = 7 -> p first
+    assert inl == ["http://a.test/p", "http://a.test/q"]
+    new = rows["http://a.test/new"]
+    assert [i["url"] for i in new["inlinks"]] == ["http://a.test/p"]
+    # temp redirect, src not root, dst root-ish shorter path -> chooseRepr
+    r = rows["http://a.test/r/old/page"]
+    from warps_nutch_spark.functions.urls import choose_repr
+
+    assert r["repr_url"] == choose_repr(
+        "http://a.test/r/old/page", "http://a.test/r2", True
+    )
+    # non-redirect fetched rows keep repr_url null
+    assert rows["http://a.test/p"]["repr_url"] is None

@@ -113,3 +113,45 @@ def test_spark_column_forms(spark):
     for _, row in got3.iterrows():
         assert row["h"] == urls.host_of(row["url"])
         assert row["d"] == urls.domain_of(urls.host_of(row["url"]))
+
+
+# golden vectors from the reference's TestURLUtil.java chooseRepr test
+_A = "http://www.a.com"
+_B = "http://www.b.com"
+_ASUB = "http://www.news.a.com"
+_AQ = "http://www.a.com?y=1"
+_AP = "http://www.a.com/xyz/index.html"
+_AP2 = "http://www.a.com/abc/page.html"
+_AP3 = "http://www.news.a.com/abc/page.html"
+
+CHOOSE_REPR_VECTORS = [
+    (_A, _B, True, _B),    # 1) different domain -> dst
+    (_A, _B, False, _B),
+    (_A, _AQ, False, _A),  # 2) permanent and root -> src
+    (_A, _AP, False, _A),
+    (_AP, _A, False, _A),  # 3) permanent, not root, dst root -> dst
+    (_AP, _AP2, False, _AP2),  # 4) permanent, neither root -> dst
+    (_A, _AP, True, _A),   # 5) temp, src root, dst not -> src
+    (_AP, _A, True, _A),   # 6) temp, not root, dst root -> dst
+    (_AP, _AP2, True, _AP2),  # 7) temp same host: shorter path wins
+    (_AP, _AP3, True, _AP),   # 7) temp diff host: fewer subdomains
+    (_A, _ASUB, True, _A),    # 8) temp both root: fewer subdomains
+]
+
+
+@pytest.mark.parametrize("src,dst,temp,want", CHOOSE_REPR_VECTORS)
+def test_choose_repr_golden_vectors(src, dst, temp, want):
+    assert urls.choose_repr(src, dst, temp) == want
+
+
+def test_choose_repr_col_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(s, d, t) for s, d, t, _ in CHOOSE_REPR_VECTORS], ["src", "dst", "temp"]
+    )
+    got = df.select(
+        urls.choose_repr_col(F.col("src"), F.col("dst"), F.col("temp")).alias("r")
+    ).collect()
+    for row, (_, _, _, want) in zip(got, CHOOSE_REPR_VECTORS):
+        assert row["r"] == want

@@ -87,6 +87,17 @@ class CrawlConfig:
     max_inlinks: int = 10_000
     # db.update.additions.allowed (DbUpdateReducer.java:40,58)
     additions_allowed: bool = True
+    # inlink (url, anchor) storage cap (webpage.avsc:232 inlinks map).
+    # The SCORING cap stays max_inlinks; persisting 10^4 inlinks per
+    # URL at 10^10 rows is not viable, so storage keeps only the top
+    # contributions (documented deviation, SURVEY.md §8)
+    max_stored_inlinks: int = 25
+
+    # --- Q6 bandwidth throttle (TaskScheduler.java:94-97,191,391-394)
+    # fetcher.net.bandwidth.m: hardware bandwidth in MBytes/s; the
+    # scheduler pauses when pending x avgPageBytes x 8 > 30 x bandwidth.
+    # <= 0 disables the throttle.
+    bandwidth_mbytes: int = 0
 
     # --- partitioning / skew -------------------------------------------
     # partition.url.mode analog (URLPartitioner.java:69-104,

@@ -285,6 +285,90 @@ def reverse_url_col(url: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# representative URL on redirect (util/URLUtil.chooseRepr, the Yahoo!
+# Slurp rule; applied at TaskScheduler.java:731-774; golden vectors in
+# src/test/org/apache/nutch/util/TestURLUtil.java)
+# --------------------------------------------------------------------------
+def _file_part_col(url: Column) -> Column:
+    """Java URL.getFile(): path + query ('' when neither)."""
+    return F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
+
+
+def _java_split_size(s: Column, sep: str) -> Column:
+    """Java String.split drops TRAILING empty strings; Spark keeps
+    them — strip trailing separators first."""
+    trimmed = F.regexp_replace(s, f"[{sep}]+$", "")
+    return F.size(F.split(trimmed, f"[{sep}]"))
+
+
+def choose_repr_col(src: Column, dst: Column, temp: Column) -> Column:
+    """chooseRepr as a pure column expression.
+
+    Rules (URLUtil.java chooseRepr):
+    1. different registered domains -> dst;
+    2. permanent: src root -> src, else dst;
+    3. temp, src root and dst not -> src; dst root and src not -> dst;
+    4. temp, neither root, same host -> fewer path segments wins, tie
+       broken by shorter file; dst only on STRICT inequality;
+    5. otherwise (both root, or neither root on different hosts) ->
+       fewer subdomain labels wins (strictly), else src.
+    """
+    src_host = host_col(src)
+    dst_host = host_col(dst)
+    src_file = _file_part_col(src)
+    dst_file = _file_part_col(dst)
+    src_root = (src_file == "") | (src_file == "/")
+    dst_root = (dst_file == "") | (dst_file == "/")
+    src_paths = _java_split_size(src_file, "/")
+    dst_paths = _java_split_size(dst_file, "/")
+    same_host_pick = (
+        F.when(dst_paths < src_paths, dst)
+        .when(dst_paths > src_paths, src)
+        .when(F.length(dst_file) < F.length(src_file), dst)
+        .otherwise(src)
+    )
+    sub_pick = F.when(
+        F.size(F.split(dst_host, r"\.")) < F.size(F.split(src_host, r"\.")), dst
+    ).otherwise(src)
+    return (
+        F.when(src_host.isNull() | dst_host.isNull(), dst)
+        .when(domain_col(src_host) != domain_col(dst_host), dst)
+        .when(~temp, F.when(src_root, src).otherwise(dst))
+        .when(src_root & ~dst_root, src)
+        .when(~src_root & dst_root, dst)
+        .when(~src_root & ~dst_root & (src_host == dst_host), same_host_pick)
+        .otherwise(sub_pick)
+    )
+
+
+def choose_repr(src: str, dst: str, temp: bool) -> str:
+    """Scalar twin of :func:`choose_repr_col` (semantic truth for the
+    golden-vector tests)."""
+    src_host, dst_host = host_of(src), host_of(dst)
+    if src_host is None or dst_host is None:
+        return dst
+    if domain_of(src_host) != domain_of(dst_host):
+        return dst
+    src_file = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "", src)
+    dst_file = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "", dst)
+    src_root = src_file in ("", "/")
+    dst_root = dst_file in ("", "/")
+    if not temp:
+        return src if src_root else dst
+    if src_root and not dst_root:
+        return src
+    if not src_root and dst_root:
+        return dst
+    if not src_root and not dst_root and src_host == dst_host:
+        nsrc = len(re.sub(r"/+$", "", src_file).split("/"))
+        ndst = len(re.sub(r"/+$", "", dst_file).split("/"))
+        if nsrc != ndst:
+            return dst if ndst < nsrc else src
+        return dst if len(dst_file) < len(src_file) else src
+    return dst if len(dst_host.split(".")) < len(src_host.split(".")) else src
+
+
+# --------------------------------------------------------------------------
 # url hash (dedup/merge key): SHA1 hex of the canonical URL
 # (north_rule: URL-seen set over SHA1(canonicalized URL))
 # --------------------------------------------------------------------------

@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor / embedding near-dup operators.
+
+All pure DataFrame compositions over an ``array<float>`` embedding
+column — dot products and norms are JVM-side ``aggregate``/``zip_with``
+expressions (whole-stage-codegen'd), never Python.
+
+Scale shapes:
+
+- :func:`brute_force_topk` — exact baseline: broadcast the query
+  vector, score every row, TakeOrderedAndProject. O(N·d), the
+  documented ground truth.
+- sign-LSH pipeline (:func:`sign_bits` -> :func:`banded_pairs` ->
+  :func:`cosine_verify_pairs`) — the scale path: random-hyperplane
+  signatures, banded bucket-join for candidates (never all-pairs),
+  exact cosine only on candidates. Mirrors the proven
+  minhash -> band -> jaccard-verify pattern. ``n_planes``/``n_bands``
+  are parameters: the sandbox queries run 16 planes x 4 bands (small
+  data); a 100 TB corpus wants 64-256 planes with bands tuned to the
+  target cosine threshold (collision prob per plane = 1 - theta/pi).
+
+Hyperplanes are taken from a deterministic DataFrame (e.g. designated
+corpus rows or precomputed constants) so results are reproducible
+without RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(c: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine against a single broadcast query vector
+    (column ``qe``). orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort shuffle."""
+    joined = emb.crossJoin(F.broadcast(query))
+    cos = cosine_col(F.col("embedding"), F.col("qe"))
+    return (
+        joined.select(id_col, F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bits(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, bits): sign-LSH signature string over the hyperplanes
+    (``plane_id``, ``pe``). Planes broadcast; one wide groupBy."""
+    joined = emb.crossJoin(F.broadcast(planes))
+    d = dot_col(F.col("embedding"), F.col("pe"))
+    bits = joined.select(
+        id_col,
+        "plane_id",
+        F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    return bits.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("plane_id"), F.col("bit")))),
+                lambda s: s.getField("bit"),
+            ),
+        ).alias("bits")
+    )
+
+
+def banded_pairs(
+    bits: DataFrame, n_bands: int, band_len: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one band bucket —
+    the LSH bucket-join (same shape as the MinHash band join; never
+    an all-pairs product)."""
+    bands = None
+    for b in range(n_bands):
+        part = bits.select(
+            id_col,
+            F.lit(b).alias("band"),
+            F.substring("bits", b * band_len + 1, band_len).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def cosine_verify_pairs(
+    emb: DataFrame, pairs: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine on candidate pairs only; keeps pairs above the
+    threshold. Filter runs on the unrounded double (identical IEEE
+    math in Spark and DuckDB over the same float32 inputs); the output
+    rounds to 4 decimals for hash stability."""
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b"))
+    joined = pairs.join(ea, on="id_a").join(eb, on="id_b")
+    cos = cosine_col(F.col("emb_a"), F.col("emb_b"))
+    return joined.filter(cos > threshold).select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round(cos, 4).alias("cosine"),
+    )
+
+
+def lsh_cosine_dedup(
+    emb: DataFrame,
+    planes: DataFrame,
+    n_bands: int,
+    band_len: int,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """bucket-join -> exact-cosine verify: the scale-safe near-dup
+    pipeline (replaces the r1 within-label all-pairs join, which was
+    O(n^2/labels) and flagged `weak`)."""
+    bits = sign_bits(emb, planes, id_col)
+    pairs = banded_pairs(bits, n_bands, band_len, id_col)
+    return cosine_verify_pairs(emb, pairs, threshold, id_col)
+
+
+def allpairs_cosine(emb: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
+    """All-pairs ground truth — TEST-TIME ONLY (O(n^2)); used by pytest
+    to measure the LSH pipeline's recall on constructed near-dups."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    return joined.filter(cos > threshold).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.round(cos, 4).alias("cosine"),
+    )

@@ -103,6 +103,46 @@ def fetch_result_schema() -> T.StructType:
     return T.StructType(base + RESULT_EXTRA_FIELDS)
 
 
+def queue_spacing_cols(q_cd, q_mt, q_mcd, robots_delay, cfg: CrawlConfig):
+    """(delay_ms, threads, spacing_ms) resolution for a politeness
+    queue — the Column form of the per-host overrides the reference
+    reads from the Host table (TasksMonitor.java:480-496: q_cd crawl
+    delay, q_mt max threads, q_mcd min crawl delay) with the
+    FetchQueue rule that a multi-threaded queue spaces requests by
+    minCrawlDelay instead of crawlDelay (FetchQueue.java:339-346).
+
+    Precedence: explicit host-table override > robots crawl-delay >
+    configured default. The fetch group UDF applies the identical
+    scalar resolution (pinned equal by pytest + the
+    `host_politeness_override` oracle query)."""
+    delay = F.coalesce(q_cd, robots_delay, F.lit(int(cfg.crawl_delay_ms))).cast("long")
+    threads = F.coalesce(q_mt, F.lit(int(cfg.threads_per_queue))).cast("int")
+    spacing = F.when(
+        threads > 1, F.coalesce(q_mcd, F.lit(int(cfg.min_crawl_delay_ms))).cast("long")
+    ).otherwise(delay)
+    return delay, threads, spacing
+
+
+def _resolve_queue_spacing(pdf: pd.DataFrame, cfg: CrawlConfig) -> int:
+    """Scalar twin of :func:`queue_spacing_cols` for one host group
+    (first non-null value per override column wins — host == group)."""
+
+    def first(col):
+        if col in pdf:
+            vals = pdf[col].dropna()
+            if len(vals):
+                return int(vals.iloc[0])
+        return None
+
+    q_cd, q_mt, q_mcd = first("q_cd"), first("q_mt"), first("q_mcd")
+    robots = first("robots_delay")
+    delay = q_cd if q_cd is not None else (robots if robots is not None else cfg.crawl_delay_ms)
+    threads = q_mt if q_mt is not None else cfg.threads_per_queue
+    if threads > 1:
+        return q_mcd if q_mcd is not None else cfg.min_crawl_delay_ms
+    return delay
+
+
 def robots_denied_col(path, disallow):
     """F14 robots gate as a JVM-side predicate: the URL path matches
     any disallow prefix (SimpleRobotRules prefix semantics; the fork
@@ -136,14 +176,12 @@ def _make_fetch_group(cfg: CrawlConfig, web_params: tuple, round_start_ms: int):
         ).reset_index(drop=True)
         n = len(pdf)
 
-        # queue-level delay: first per-host override in the group wins
-        # (host == group in byHost mode; in byDomain mode this is the
-        # domain-level override)
-        delay = cfg.crawl_delay_ms
-        if "robots_delay" in pdf:
-            cds = pdf["robots_delay"].dropna()
-            if len(cds):
-                delay = int(cds.iloc[0])
+        # queue-level spacing: host-table overrides (q_cd/q_mt/q_mcd)
+        # > robots crawl-delay > configured default; multi-threaded
+        # queues space by min delay (FetchQueue.java:339-346). First
+        # per-host value in the group wins (host == group in byHost
+        # mode; in byDomain mode this is the domain-level override).
+        delay = _resolve_queue_spacing(pdf, cfg)
 
         paths = pdf["url"].str.replace(r"^[a-z]+://[^/]+", "", regex=True)
         # robots disallow is per HOST even when the queue is a domain
@@ -237,11 +275,16 @@ def fetch(
     round_start_ms: int,
     batch_id: str,
     web_params: tuple = (20, 1000, 42),
+    host_config: DataFrame | None = None,
 ) -> DataFrame:
     """Run the politeness engine. Returns fetch results (one row per
     fetchlist row; ``fetched`` False for rows the round budget never
     reached). Mark-presence guard: only rows generated for this batch
-    are fetched (FetchMapper.java:102-106)."""
+    are fetched (FetchMapper.java:102-106).
+
+    ``host_config``: optional per-host queue overrides (columns
+    ``host``, ``q_mt``, ``q_cd``, ``q_mcd`` — TasksMonitor.java:
+    480-496), broadcast-joined like robots rules."""
     fl = fetchlist.filter(F.col("generated_batch") == batch_id).select(*CARRY_COLS)
     if robots is not None:
         rb = robots.select(
@@ -254,6 +297,14 @@ def fetch(
         fl = fl.withColumn("robots_disallow", F.lit(None).cast("array<string>")).withColumn(
             "robots_delay", F.lit(None).cast("long")
         )
+    if host_config is not None:
+        hc = host_config.select(
+            "host",
+            F.col("q_mt").cast("int").alias("q_mt"),
+            F.col("q_cd").cast("long").alias("q_cd"),
+            F.col("q_mcd").cast("long").alias("q_mcd"),
+        )
+        fl = fl.join(F.broadcast(hc), on="host", how="left")
     # politeness-queue unit: host (default) or registered domain
     # (URLPartitioner byDomain mode) — the group key is the unit that
     # is never fetched concurrently

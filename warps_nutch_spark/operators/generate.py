@@ -70,6 +70,21 @@ def eligible_candidates(
     return df
 
 
+def bandwidth_row_cap(avg_page_bytes: float | None, cfg: CrawlConfig) -> int | None:
+    """Q6 bandwidth throttle. The reference pauses task scheduling
+    while pending x avgPageBytes x 8 > 30 x bandwidth_bytes
+    (TaskScheduler.java:391-394; fetcher.net.bandwidth.m at :94-97,
+    191). A batch engine has no mid-round pause, so the same rule is
+    inverted into the largest pending set the bandwidth sustains:
+    cap = 30 x bandwidth_bytes / (avgPageBytes x 8), applied as an
+    extra generate limit. None disables (bandwidth unlimited or no
+    page-size estimate yet). Oracle-checked by `bandwidth_throttle`."""
+    if cfg.bandwidth_mbytes <= 0 or not avg_page_bytes or avg_page_bytes <= 0:
+        return None
+    bw_bytes = cfg.bandwidth_mbytes * 1024 * 1024
+    return max(1, int(30 * bw_bytes / (avg_page_bytes * 8)))
+
+
 def apply_detail_quota(cand: DataFrame, cfg: CrawlConfig, order: list) -> DataFrame:
     """P5: detail quota — at most detail_quota_num/den of topN may be
     DETAIL pages; overflow DETAIL pages are demoted to default
@@ -106,9 +121,11 @@ def generate(
     unreachable_hosts: DataFrame | None = None,
     regenerate: bool = False,
     current_round: int | None = None,
+    avg_page_bytes: float | None = None,
 ) -> DataFrame:
     """Returns the fetchlist (frontier rows + sort/selection columns,
-    marked with batch_id/generated_batch). Caller merges the marks."""
+    marked with batch_id/generated_batch). Caller merges the marks.
+    ``avg_page_bytes`` feeds the Q6 bandwidth cap when configured."""
     cand = eligible_candidates(
         frontier, cfg, now_ms, unreachable_hosts, regenerate, current_round
     )
@@ -130,10 +147,12 @@ def generate(
     # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
     # partial top-N then a merge on the driver of N rows, never a global
     # sort shuffle) — the scalable exact form of the reference's
-    # per-reducer limit.
+    # per-reducer limit. Q6: the bandwidth cap tightens the limit.
+    bw_cap = bandwidth_row_cap(avg_page_bytes, cfg)
+    effective_top_n = cfg.top_n if bw_cap is None else min(cfg.top_n, bw_cap)
     exempt = F.col("priority") >= cfg.priority_must_fetch
     selected = cand.filter(exempt).unionByName(
-        cand.filter(~exempt).orderBy(*order).limit(cfg.top_n)
+        cand.filter(~exempt).orderBy(*order).limit(effective_top_n)
     )
 
     return (

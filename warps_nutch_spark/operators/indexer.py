@@ -36,6 +36,19 @@ def build_index_documents(frontier: DataFrame, batch_id: str | None = None) -> D
         F.col("score").cast("double").alias("boost"),
         (F.col("fetch_time") / 1000).cast("timestamp").alias("tstamp"),
         F.col("batch_id"),
+        # index-anchor (AnchorIndexingFilter): distinct non-empty
+        # anchor texts from the stored inlink state
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.coalesce(F.col("inlinks"), F.array()),
+                    lambda s: s.getField("anchor"),
+                ),
+                lambda a: a.isNotNull() & (a != ""),
+            )
+        ).alias("anchors"),
+        # representative URL when the page redirected (reprUrl field)
+        F.col("repr_url"),
     )
 
 

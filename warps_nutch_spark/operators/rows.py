@@ -61,6 +61,8 @@ def complete_rows(df: DataFrame, cfg: CrawlConfig, now_ms: int) -> DataFrame:
         "prev_signature": F.lit(None).cast("string"),
         "protocol_status": F.lit(None).cast(schema.PROTOCOL_STATUS),
         "outlinks": F.lit(None).cast(schema.FRONTIER["outlinks"].dataType),
+        "repr_url": F.lit(None).cast("string"),
+        "inlinks": F.lit(None).cast(schema.FRONTIER["inlinks"].dataType),
         "image_id": F.lit(None).cast("string"),
         "caption": F.lit(None).cast("string"),
         "phash": F.lit(None).cast("long"),

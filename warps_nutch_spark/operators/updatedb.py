@@ -86,6 +86,8 @@ def explode_contributions(parsed: DataFrame, cfg: CrawlConfig) -> DataFrame:
         contrib.alias("contribution"),
         (F.col("from_distance") + 1).alias("inlink_distance"),
         F.col("from_is_seed").alias("from_seed"),
+        F.col("from_url"),
+        F.coalesce(F.col("link.anchor"), F.lit("")).alias("from_anchor"),
     )
 
 
@@ -93,9 +95,33 @@ def aggregate_contributions(contribs: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """R3-R5: per-URL inlink aggregation with the max-inlinks cap
     (top contributions first, mirroring the score-desc secondary sort
     ``crawl/UrlWithScore.java:118-188``)."""
-    win = Window.partitionBy("to_url_hash").orderBy(F.desc("contribution"))
+    win = Window.partitionBy("to_url_hash").orderBy(
+        F.desc("contribution"), F.asc("from_url")
+    )
     capped = contribs.withColumn("rk", F.row_number().over(win)).filter(
         F.col("rk") <= cfg.max_inlinks
+    )
+    # capped inlink (url, anchor) state, best-contribution-first
+    # (webpage.avsc inlinks map; ReduceDatumBuilder keeps the map of
+    # the round's inlinks). Storage cap separate from the scoring cap:
+    # at 10^10 rows you cannot persist 10^4 inlinks per URL.
+    inlink_structs = F.slice(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("contribution")).alias("neg"),
+                        F.col("from_url").alias("url"),
+                        F.col("from_anchor").alias("anchor"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s.getField("url").alias("url"), s.getField("anchor").alias("anchor")
+            ),
+        ),
+        1,
+        cfg.max_stored_inlinks,
     )
     return capped.groupBy("to_url_hash").agg(
         F.first("to_url").alias("to_url"),
@@ -103,6 +129,7 @@ def aggregate_contributions(contribs: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.sum("contribution").cast("float").alias("inlink_sum"),
         F.min("inlink_distance").alias("min_inlink_distance"),
         F.max(F.col("from_seed").cast("int")).cast("boolean").alias("any_from_seed"),
+        inlink_structs.alias("inlinks"),
     )
 
 
@@ -193,6 +220,7 @@ def updatedb(
     batch_id: str,
     urlseen: BloomUrlSeen | None = None,
     cached_out: list | None = None,
+    prev_state: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (merge_rows, counters). ``merge_rows`` are full
     frontier-schema rows: updated fetched pages + updated existing
@@ -209,6 +237,36 @@ def updatedb(
         cached_out.append(agg)
 
     fetched_updates = updated_fetched_rows(parsed, cfg, now_ms, batch_id)
+    # inlinks / repr_url state does not ride through the fetch UDF
+    # (arrays through Arrow would dominate the politeness stage); the
+    # caller supplies the fetchlist's prior state instead — a
+    # small x small join, never a frontier point-lookup.
+    if prev_state is not None:
+        ps = prev_state.select(
+            "url_hash",
+            F.col("inlinks").alias("_prev_inlinks"),
+            F.col("repr_url").alias("_prev_repr"),
+        )
+        fetched_updates = fetched_updates.join(ps, on="url_hash", how="left")
+    else:
+        fetched_updates = fetched_updates.withColumn(
+            "_prev_inlinks", F.lit(None).cast("array<struct<url:string,anchor:string>>")
+        ).withColumn("_prev_repr", F.lit(None).cast("string"))
+    # reprUrl on redirect (URLUtil.chooseRepr, TaskScheduler.java:731-774)
+    redirected = F.col("new_status").isin(
+        CrawlStatus.REDIR_PERM, CrawlStatus.REDIR_TEMP
+    ) & (F.size(F.coalesce("outlinks", F.array())) > 0)
+    fetched_updates = fetched_updates.withColumn(
+        "repr_url",
+        F.when(
+            redirected,
+            urls.choose_repr_col(
+                F.col("url"),
+                F.element_at("outlinks", 1).getField("url"),
+                F.col("new_status") == CrawlStatus.REDIR_TEMP,
+            ),
+        ).otherwise(F.col("_prev_repr")),
+    ).drop("_prev_repr")
 
     # score updates for pages receiving inlinks that already exist
     existing = frontier.join(
@@ -216,6 +274,7 @@ def updatedb(
             F.col("to_url_hash").alias("url_hash"),
             "inlink_sum",
             "min_inlink_distance",
+            F.col("inlinks").alias("_new_inlinks"),
         ),
         on="url_hash",
         how="inner",
@@ -228,8 +287,9 @@ def updatedb(
             "distance",
             F.least(F.col("distance"), F.col("min_inlink_distance")),
         )
+        .withColumn("inlinks", F.col("_new_inlinks"))
         .withColumn("updated_batch", F.lit(batch_id))
-        .drop("inlink_sum", "min_inlink_distance")
+        .drop("inlink_sum", "min_inlink_distance", "_new_inlinks")
     )
 
     # new rows: discovered URLs not in the frontier (R6). Bloom
@@ -269,6 +329,7 @@ def updatedb(
                 F.col("inlink_sum").cast("float").alias("score"),
                 F.col("inlink_sum").cast("float").alias("cash"),
                 F.col("min_inlink_distance").alias("distance"),
+                F.col("inlinks"),
                 F.when(F.col("any_from_seed"), F.lit(cfg.priority_from_seed))
                 .otherwise(F.lit(cfg.priority_default))
                 .alias("priority"),
@@ -284,7 +345,10 @@ def updatedb(
     fetched_updates = (
         fetched_updates.join(
             agg.select(
-                F.col("to_url_hash").alias("url_hash"), "inlink_sum", "min_inlink_distance"
+                F.col("to_url_hash").alias("url_hash"),
+                "inlink_sum",
+                "min_inlink_distance",
+                F.col("inlinks").alias("_new_inlinks"),
             ),
             on="url_hash",
             how="left",
@@ -295,7 +359,8 @@ def updatedb(
             "distance",
             F.least(F.col("distance"), F.coalesce("min_inlink_distance", F.col("distance"))),
         )
-        .drop("inlink_sum", "min_inlink_distance")
+        .withColumn("inlinks", F.coalesce(F.col("_new_inlinks"), F.col("_prev_inlinks")))
+        .drop("inlink_sum", "min_inlink_distance", "_new_inlinks", "_prev_inlinks")
     )
 
     frontier_cols = frontier.columns

@@ -223,6 +223,31 @@ class RoundDriver:
             )
         merged.write.mode("overwrite").parquet(self._next_hosts_path(batch_id))
 
+    def host_config(self) -> DataFrame | None:
+        """Optional operator-provided per-host queue overrides
+        (workdir/host_config parquet: host, q_mt, q_cd, q_mcd — the
+        Host-table settings of TasksMonitor.java:480-496)."""
+        p = os.path.join(self.workdir, "host_config")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _avg_page_bytes(self) -> float | None:
+        """Mean payload size from prior rounds — the avePageLength
+        estimate feeding the Q6 bandwidth cap. Only computed when the
+        throttle is configured (one small agg over the payload table)."""
+        if self.cfg.bandwidth_mbytes <= 0:
+            return None
+        p = os.path.join(self.workdir, "payloads")
+        if not os.path.isdir(p):
+            return None
+        row = (
+            self.payloads()
+            .agg(F.avg(F.length("bytes")).alias("avg_bytes"))
+            .collect()[0]
+        )
+        return float(row["avg_bytes"]) if row["avg_bytes"] is not None else None
+
     def _updatedb_counters(self, merge_rows: DataFrame, batch_id: str) -> DataFrame:
         """R11 status counters recomputed from the committed updatedb
         artifact (resume path)."""
@@ -259,6 +284,7 @@ class RoundDriver:
                 fl = gen_op.generate(
                     self.store.read(), self.cfg, now, batch_id,
                     self.unreachable_hosts(), current_round=r,
+                    avg_page_bytes=self._avg_page_bytes(),
                 )
                 # The GENERATE_MARK lives in the fetchlist artifact until
                 # updatedb folds it into the single per-round MERGE (one
@@ -277,7 +303,8 @@ class RoundDriver:
                 res = self._read_stage(batch_id, "fetch")  # resume: reuse
             else:
                 res = fetch_op.fetch(
-                    fetchlist, self._robots_df(), self.cfg, now, batch_id, self.web_params
+                    fetchlist, self._robots_df(), self.cfg, now, batch_id,
+                    self.web_params, host_config=self.host_config(),
                 )
                 with python_stage_parallelism(self.spark):
                     res = self._write_stage(res, batch_id, "fetch")
@@ -334,6 +361,7 @@ class RoundDriver:
                 merge_rows, counters = upd_op.updatedb(
                     frontier, parsed, self.cfg, now, batch_id, self.urlseen,
                     cached_out=cached,
+                    prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
                 )
                 # Budget-dropped fetchlist rows (generated but never
                 # reached by the round's fetch budget) keep their

@@ -651,29 +651,11 @@ FROM h
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 query vector —
     the exact baseline for ANN."""
+    from .operators.ann import brute_force_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
-    )
-    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
-    return (
-        joined.select("vec_id", F.round(cos, 4).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, 10)
 
 
 ORACLE_EMBEDDING_TOPK = """
@@ -688,32 +670,13 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketing: hyperplanes = embeddings 1..4; bucket =
     sign pattern of dot products (the scale path for ANN: bucket-join
     instead of brute force)."""
+    from .operators.ann import sign_bits
+
     emb = _t(spark, sf_dir, "embeddings")
     planes = emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
     )
-    joined = emb.crossJoin(F.broadcast(planes))
-    dot = F.aggregate(
-        F.zip_with("embedding", "pe", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bits = joined.select(
-        "vec_id",
-        "plane_id",
-        F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-    )
-    buckets = bits.groupBy("vec_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("plane_id"), F.col("bit")))
-                ),
-                lambda s: s.getField("bit"),
-            ),
-        ).alias("bucket")
-    )
+    buckets = sign_bits(emb, planes).withColumnRenamed("bits", "bucket")
     return buckets.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
 
 
@@ -735,49 +698,66 @@ SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
 """
 
 
+# sign-LSH params for the dedup query: 16 hyperplanes (corpus rows
+# 1..16), 4 bands x 4 bits, exact-cosine verify > 0.2. At 100 TB the
+# same pipeline runs with 64-256 planes; these are query parameters,
+# not hardcoded operator constants (operators/ann.py).
+_ANN_PLANES = 16
+_ANN_BANDS = 4
+_ANN_BAND_LEN = 4
+_ANN_THRESHOLD = 0.2
+
+
 def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine > 0.2 within a label —
-    threshold chosen to yield a non-trivial, bounded pair set)."""
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    """Embedding near-duplicate pairs via the scale-safe pipeline:
+    sign-LSH banded bucket-join for candidates, exact cosine verify on
+    candidates only (bucket -> candidate -> verify, mirroring
+    minhash -> band -> jaccard). The r1 within-label all-pairs form is
+    retained only as pytest ground truth (operators/ann.py
+    allpairs_cosine)."""
+    from .operators.ann import lsh_cosine_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = emb.filter(F.col("vec_id").between(1, _ANN_PLANES)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"), F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
-    # filter on the UNROUNDED cosine (identical double math in both
-    # engines over the same float32 inputs); round only the output
-    return joined.filter(cos > 0.2).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        # 4 decimals: a multi-op double accumulation can differ by an
-        # ulp between engines; a coarser grid keeps the value-hash stable
-        F.round(cos, 4).alias("cosine"),
+    return lsh_cosine_dedup(
+        emb, planes, _ANN_BANDS, _ANN_BAND_LEN, _ANN_THRESHOLD
     )
 
 
-ORACLE_EMBEDDING_COSINE_DEDUP = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
+ORACLE_EMBEDDING_COSINE_DEDUP = f"""
+WITH planes AS (
+  SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_ANN_PLANES}
+),
+bits AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(p.pe AS DOUBLE[])) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bits
+  FROM embeddings e, planes p GROUP BY e.vec_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {b} AS band, substr(bits, {b * _ANN_BAND_LEN + 1},"
+      f" {_ANN_BAND_LEN}) AS key FROM bits"
+      for b in range(_ANN_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) > {_ANN_THRESHOLD}
 """
 
 

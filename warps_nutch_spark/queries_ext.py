@@ -570,6 +570,231 @@ WHERE bit_count(xor(CAST(sa.simhash_bits AS BIT), CAST(sb.simhash_bits AS BIT)))
 """
 
 
+# ===========================================================================
+# reprUrl: representative URL on redirect (util/URLUtil.chooseRepr,
+# applied at TaskScheduler.java:731-774) — one case per rule branch
+# ===========================================================================
+def q_repr_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    h = F.concat(F.col("source"), F.lit(".test"))
+    case = (F.col("doc_id") % 8).cast("int")
+    src = (
+        F.when(case == 0, F.concat(F.lit("http://a-"), h, F.lit("/x")))
+        .when(case == 1, F.concat(F.lit("http://"), h))
+        .when(case == 2, F.concat(F.lit("http://"), h, F.lit("/old/"), sid))
+        .when(case == 3, F.concat(F.lit("http://"), h, F.lit("/")))
+        .when(case == 4, F.concat(F.lit("http://"), h, F.lit("/deep/page/"), sid))
+        .when(case == 5, F.concat(F.lit("http://"), h, F.lit("/xyz/index"), sid, F.lit(".html")))
+        .when(case == 6, F.concat(F.lit("http://www."), h, F.lit("/p/"), sid))
+        .otherwise(F.concat(F.lit("http://www.news."), h))
+    )
+    dst = (
+        F.when(case == 0, F.concat(F.lit("http://b-"), h, F.lit("/y")))
+        .when(case == 1, F.concat(F.lit("http://"), h, F.lit("/detail/"), sid))
+        .when(case == 2, F.concat(F.lit("http://"), h, F.lit("/new/"), sid))
+        .when(case == 3, F.concat(F.lit("http://"), h, F.lit("/landing/"), sid))
+        .when(case == 4, F.concat(F.lit("http://"), h, F.lit("/")))
+        .when(case == 5, F.concat(F.lit("http://"), h, F.lit("/ab/p"), sid, F.lit(".html")))
+        .when(case == 6, F.concat(F.lit("http://www.news."), h, F.lit("/p/"), sid))
+        .otherwise(F.concat(F.lit("http://www."), h))
+    )
+    temp = (F.col("doc_id") % 2 == 0) | (case >= 3)  # perm only covers 1,2
+    # materialize (src, dst, temp) behind an exchange so CollapseProject
+    # can't re-inline the case CASEs into every choose_repr reference
+    # (the expanded tree overflows whole-stage codegen's method limit)
+    triples = docs.select(
+        "doc_id",
+        case.cast("bigint").alias("kase"),
+        src.alias("src"),
+        dst.alias("dst"),
+        temp.alias("temp"),
+    ).repartition(8)
+    return triples.select(
+        "doc_id",
+        "kase",
+        urls.choose_repr_col(F.col("src"), F.col("dst"), F.col("temp")).alias("repr"),
+    )
+
+
+# expected outcomes per branch (rule trace in functions/urls.py):
+# 0 diff domain -> dst; 1 perm(odd doc_id) src root -> src, temp -> src
+#   (root vs not root); 2 perm not root -> dst, temp /old vs /new: same
+#   segs, equal len -> src; 3 temp src root -> src; 4 temp dst root ->
+#   dst; 5 same host neither root: '/ab/pN.html' shorter -> dst;
+# 6 diff host same domain neither root: www (2 subs... 3 vs 4) -> src;
+# 7 both root: www. (3) < www.news. (4) -> src
+ORACLE_REPR_URL = """
+SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS kase,
+  CASE CAST(doc_id % 8 AS INTEGER)
+    WHEN 0 THEN 'http://b-' || source || '.test/y'
+    WHEN 1 THEN 'http://' || source || '.test'
+    WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+                     THEN 'http://' || source || '.test/old/' || CAST(doc_id AS VARCHAR)
+                     ELSE 'http://' || source || '.test/new/' || CAST(doc_id AS VARCHAR) END
+    WHEN 3 THEN 'http://' || source || '.test/'
+    WHEN 4 THEN 'http://' || source || '.test/'
+    WHEN 5 THEN 'http://' || source || '.test/ab/p' || CAST(doc_id AS VARCHAR) || '.html'
+    WHEN 6 THEN 'http://www.' || source || '.test/p/' || CAST(doc_id AS VARCHAR)
+    ELSE 'http://www.' || source || '.test'
+  END AS repr
+FROM documents
+"""
+
+
+# ===========================================================================
+# Inlink (url, anchor) state: capped best-contribution-first aggregation
+# (webpage.avsc:232 inlinks map; ReduceDatumBuilder inlink handling)
+# ===========================================================================
+_INL_CFG = CrawlConfig(max_inlinks=10, max_stored_inlinks=5)
+
+
+def q_inlink_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.updatedb import aggregate_contributions
+
+    li = _t(spark, sf_dir, "lineitem")
+    contribs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("to_url"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("to_url_hash"),
+        F.lit("h").alias("to_host"),
+        F.round(F.col("l_extendedprice"), 2).alias("contribution"),
+        (F.col("l_orderkey") % 3 + 1).alias("inlink_distance"),
+        F.lit(False).alias("from_seed"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+        ).alias("from_url"),
+        F.concat(F.lit("anchor "), F.col("l_linenumber").cast("string")).alias(
+            "from_anchor"
+        ),
+    )
+    agg = aggregate_contributions(contribs, _INL_CFG)
+    return agg.select(
+        F.col("to_url_hash").alias("pk"),
+        F.posexplode("inlinks").alias("rank", "inl"),
+    ).select(
+        "pk",
+        (F.col("rank") + 1).cast("bigint").alias("rank"),
+        F.col("inl.url").alias("from_url"),
+        F.col("inl.anchor").alias("anchor"),
+    )
+
+
+ORACLE_INLINK_ANCHORS = f"""
+WITH contribs AS (
+  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS pk,
+         round(l_extendedprice, 2) AS contribution,
+         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+           AS from_url,
+         'anchor ' || CAST(l_linenumber AS VARCHAR) AS anchor
+  FROM lineitem
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk
+      ORDER BY contribution DESC, from_url ASC) AS rank
+  FROM contribs
+)
+SELECT pk, CAST(rank AS BIGINT) AS rank, from_url, anchor
+FROM ranked
+WHERE rank <= {min(_INL_CFG.max_inlinks, _INL_CFG.max_stored_inlinks)}
+"""
+
+
+# ===========================================================================
+# Per-host politeness overrides: q_cd/q_mt/q_mcd resolution
+# (TasksMonitor.java:480-496; FetchQueue.java:339-346 min-delay rule)
+# ===========================================================================
+_POL_CFG = CrawlConfig(crawl_delay_ms=5000, min_crawl_delay_ms=500, threads_per_queue=1)
+
+
+def q_host_politeness_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fetch import queue_spacing_cols
+
+    fr = derived_frontier(spark, sf_dir)
+    hosts = fr.select("host").distinct()
+    c = F.substring(F.md5("host"), 1, 1)
+    q_cd = F.when(c.isin(*list("0123")), F.lit(2000)).otherwise(F.lit(None)).cast("long")
+    q_mt = F.when(c.isin(*list("2345")), F.lit(4)).otherwise(F.lit(None)).cast("int")
+    q_mcd = F.when(c.isin(*list("4567")), F.lit(250)).otherwise(F.lit(None)).cast("long")
+    robots = F.when(c.isin(*list("89ab")), F.lit(3000)).otherwise(F.lit(None)).cast("long")
+    delay, threads, spacing = queue_spacing_cols(q_cd, q_mt, q_mcd, robots, _POL_CFG)
+    return hosts.select(
+        "host",
+        delay.alias("delay_ms"),
+        threads.cast("bigint").alias("threads"),
+        spacing.alias("spacing_ms"),
+    )
+
+
+ORACLE_HOST_POLITENESS_OVERRIDE = f"""
+WITH {FRONTIER_SQL},
+h AS (SELECT DISTINCT host FROM frontier),
+cfgd AS (
+  SELECT host,
+    CASE WHEN substr(md5(host),1,1) IN ('0','1','2','3') THEN 2000 END AS q_cd,
+    CASE WHEN substr(md5(host),1,1) IN ('2','3','4','5') THEN 4 END AS q_mt,
+    CASE WHEN substr(md5(host),1,1) IN ('4','5','6','7') THEN 250 END AS q_mcd,
+    CASE WHEN substr(md5(host),1,1) IN ('8','9','a','b') THEN 3000 END AS robots
+  FROM h
+)
+SELECT host,
+  coalesce(q_cd, robots, {_POL_CFG.crawl_delay_ms}) AS delay_ms,
+  CAST(coalesce(q_mt, {_POL_CFG.threads_per_queue}) AS BIGINT) AS threads,
+  CASE WHEN coalesce(q_mt, {_POL_CFG.threads_per_queue}) > 1
+       THEN coalesce(q_mcd, {_POL_CFG.min_crawl_delay_ms})
+       ELSE coalesce(q_cd, robots, {_POL_CFG.crawl_delay_ms}) END AS spacing_ms
+FROM cfgd
+"""
+
+
+# ===========================================================================
+# Q6 bandwidth throttle: pending x avgPageBytes x 8 > 30 x bandwidth
+# (TaskScheduler.java:391-394) -> per-queue row cap
+# ===========================================================================
+_BW_MBYTES = 1  # 1 MByte/s hardware bandwidth for the oracle scenario
+
+
+def q_bandwidth_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derived_frontier(spark, sf_dir)
+    stats = fr.groupBy("host").agg(
+        F.count("*").alias("pending"),
+        F.avg(F.col("score")).alias("avg_page_bytes"),  # n_chars proxy
+    )
+    bw_bytes = F.lit(_BW_MBYTES * 1024 * 1024)
+    throttled = F.col("pending") * F.col("avg_page_bytes") * 8 > 30 * bw_bytes
+    cap = F.greatest(
+        F.lit(1), F.floor(30 * bw_bytes / (F.col("avg_page_bytes") * 8))
+    ).cast("bigint")
+    return stats.select(
+        "host",
+        "pending",
+        throttled.alias("throttled"),
+        cap.alias("row_cap"),
+        F.least(F.col("pending"), cap).alias("allowed_rows"),
+    )
+
+
+ORACLE_BANDWIDTH_THROTTLE = f"""
+WITH {FRONTIER_SQL},
+stats AS (
+  SELECT host, count(*) AS pending, avg(score) AS avg_page_bytes
+  FROM frontier GROUP BY host
+)
+SELECT host, pending,
+  pending * avg_page_bytes * 8 > 30 * {_BW_MBYTES * 1024 * 1024} AS throttled,
+  greatest(1, CAST(floor(30 * {_BW_MBYTES * 1024 * 1024} / (avg_page_bytes * 8)) AS BIGINT))
+    AS row_cap,
+  least(pending,
+        greatest(1, CAST(floor(30 * {_BW_MBYTES * 1024 * 1024} / (avg_page_bytes * 8)) AS BIGINT)))
+    AS allowed_rows
+FROM stats
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -581,6 +806,10 @@ EXT_QUERIES = {
     "robots_gate": q_robots_gate,
     "slow_host_eviction": q_slow_host_eviction,
     "simhash_pairs": q_simhash_pairs,
+    "repr_url": q_repr_url,
+    "inlink_anchors": q_inlink_anchors,
+    "host_politeness_override": q_host_politeness_override,
+    "bandwidth_throttle": q_bandwidth_throttle,
 }
 
 EXT_ORACLES = {
@@ -594,4 +823,8 @@ EXT_ORACLES = {
     "robots_gate": ORACLE_ROBOTS_GATE,
     "slow_host_eviction": ORACLE_SLOW_HOST_EVICTION,
     "simhash_pairs": _simhash_pairs_sql(),
+    "repr_url": ORACLE_REPR_URL,
+    "inlink_anchors": ORACLE_INLINK_ANCHORS,
+    "host_politeness_override": ORACLE_HOST_POLITENESS_OVERRIDE,
+    "bandwidth_throttle": ORACLE_BANDWIDTH_THROTTLE,
 }

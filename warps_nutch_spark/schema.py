@@ -52,6 +52,12 @@ FRONTIER = T.StructType(
         T.StructField("prev_signature", T.StringType()),
         T.StructField("protocol_status", PROTOCOL_STATUS),
         T.StructField("outlinks", T.ArrayType(OUTLINK)),
+        # representative URL chosen on redirects (webpage.avsc reprUrl,
+        # util/URLUtil.chooseRepr); null unless the row ever redirected
+        T.StructField("repr_url", T.StringType()),
+        # capped inlink (url, anchor) state (webpage.avsc inlinks map,
+        # ReduceDatumBuilder inlink handling); feeds index-anchor
+        T.StructField("inlinks", T.ArrayType(OUTLINK)),
         T.StructField("image_id", T.StringType()),
         T.StructField("caption", T.StringType()),
         T.StructField("phash", T.LongType()),
