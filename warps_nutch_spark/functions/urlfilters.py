@@ -109,6 +109,41 @@ def domain_filter(df: DataFrame, allowed_domains: DataFrame, url_col: str = "url
     return out.drop("_domain")
 
 
+# urlfilter-automaton (plugin/urlfilter-automaton) shares the regex
+# filter's rule-file contract (+/- lines, first match wins); its DFA
+# backend is an execution detail the Spark form doesn't need — the
+# compiled rlike CASE chain is the same logical filter. Exposed under
+# the plugin's name so a reference user finds the contract.
+AutomatonUrlFilter = RegexUrlFilter
+
+
+_VALID_URL_RE = (
+    r"^(https?|ftp)://"  # scheme (UrlValidator default schemes)
+    r"([a-zA-Z0-9]([a-zA-Z0-9-]*[a-zA-Z0-9])?\.)+"  # dot-separated labels
+    r"[a-zA-Z]{2,}"  # alpha TLD, >= 2 chars
+    r"(:\d{1,5})?"  # optional port
+    r"([/?#]|$)"  # end of authority
+)
+
+
+def validator_filter_col(url: Column) -> Column:
+    """plugin/urlfilter-validator: syntactic URL validity (commons
+    UrlValidator semantics — scheme allowlist, hostname label rules,
+    alphabetic TLD, numeric port). A pure rlike predicate."""
+    return url.isNotNull() & url.rlike(_VALID_URL_RE)
+
+
+def tld_col(url: Column) -> Column:
+    """Top-level domain of the URL's host (lowercased)."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*\.([a-zA-Z]+)(?:[:/?#]|$)", 1))
+
+
+def tld_filter_col(url: Column, deny_tlds: list[str]) -> Column:
+    """plugin/urlfilter-tld (deny mode): reject URLs whose TLD is in
+    the deny list."""
+    return ~tld_col(url).isin(*[t.lower() for t in deny_tlds])
+
+
 def apply_filter_chain(df: DataFrame, url_col: str = "url",
                        regex_filter: RegexUrlFilter | None = None,
                        deny_suffixes: list[str] | None = None,

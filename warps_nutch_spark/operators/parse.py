@@ -130,10 +130,15 @@ def parse(
         [T.StructField("url_hash", T.StringType())] + PARSE_FIELDS
     )
     parse_cols = decode_in.mapInPandas(_decode_batches, schema=parse_schema)
-    # bytes + carry columns rejoin JVM-side; parse_cols is bounded by
-    # the fetchlist size (<= topN rows, ~100 bytes each) -> broadcast,
-    # so the payload bytes are never shuffled again
-    decoded = gated.join(F.broadcast(parse_cols), on="url_hash", how="left")
+    # bytes + carry columns rejoin JVM-side. parse_cols is bounded by
+    # the fetchlist (<= topN rows, ~100 bytes each): broadcast it while
+    # topN is comfortably under the broadcast limit so the payload
+    # bytes are never shuffled again; at the reference's big-cluster
+    # sizing (topN = 10k x slaves) fall back to a shuffle join on
+    # url_hash and let AQE pick the strategy.
+    if cfg.top_n * 100 <= 512 * 1024 * 1024:
+        parse_cols = F.broadcast(parse_cols)
+    decoded = gated.join(parse_cols, on="url_hash", how="left")
 
     # X4 signature: md5(bytes) (NULL when no content — the old
     # `signature` column still holds the frontier's previous value,

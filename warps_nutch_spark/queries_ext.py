@@ -795,6 +795,106 @@ FROM stats
 """
 
 
+# ===========================================================================
+# urlfilter-validator + urlfilter-tld (plugin/urlfilter-{validator,tld})
+# ===========================================================================
+_DENY_TLDS = ["org", "net"]
+
+
+def q_urlfilter_validator_tld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urlfilters import tld_col, tld_filter_col, validator_filter_col
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    case = (F.col("doc_id") % 6).cast("int")
+    url = (
+        F.when(case == 0, F.concat(F.lit("http://"), F.col("source"), F.lit(".test/doc/"), sid))
+        .when(case == 1, F.concat(F.lit("ftp://"), F.col("source"), F.lit(".test/f/"), sid))
+        .when(case == 2, F.concat(F.lit("http://bad_host!.test/x/"), sid))
+        .when(case == 3, F.concat(F.lit("http://"), F.col("source"), F.lit(".test8/x/"), sid))
+        .when(case == 4, F.concat(F.lit("http://"), F.col("source"), F.lit(".org/x/"), sid))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".net:8080/x/"), sid))
+    )
+    cand = docs.select(url.alias("url"))
+    return cand.select(
+        "url",
+        validator_filter_col(F.col("url")).alias("valid"),
+        tld_col(F.col("url")).alias("tld"),
+        tld_filter_col(F.col("url"), _DENY_TLDS).alias("tld_ok"),
+    )
+
+
+ORACLE_URLFILTER_VALIDATOR_TLD = """
+WITH cand AS (
+  SELECT CASE CAST(doc_id % 6 AS INTEGER)
+    WHEN 0 THEN 'http://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'ftp://' || source || '.test/f/' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN 'http://bad_host!.test/x/' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'http://' || source || '.test8/x/' || CAST(doc_id AS VARCHAR)
+    WHEN 4 THEN 'http://' || source || '.org/x/' || CAST(doc_id AS VARCHAR)
+    ELSE 'http://' || source || '.net:8080/x/' || CAST(doc_id AS VARCHAR)
+  END AS url
+  FROM documents
+)
+SELECT url,
+  regexp_matches(url,
+    '^(https?|ftp)://([a-zA-Z0-9]([a-zA-Z0-9-]*[a-zA-Z0-9])?\\.)+[a-zA-Z]{2,}(:\\d{1,5})?([/?#]|$)')
+    AS valid,
+  lower(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*\\.([a-zA-Z]+)(?:[:/?#]|$)', 1)) AS tld,
+  lower(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*\\.([a-zA-Z]+)(?:[:/?#]|$)', 1))
+    NOT IN ('org', 'net') AS tld_ok
+FROM cand
+"""
+
+
+# ===========================================================================
+# Host link-db: per-host in/outlink histograms by linked host
+# (HostDbUpdateReducer.java:36-80)
+# ===========================================================================
+def q_host_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import host_link_stats
+
+    fr = derived_frontier(spark, sf_dir)
+    link = lambda off: F.struct(
+        F.concat(
+            F.lit("http://src"),
+            ((F.col("doc_id") + off) % 19 + 1).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("").alias("anchor"),
+    )
+    fr2 = fr.select(
+        "host",
+        F.array(link(0), link(1)).cast(f"array<struct<url:string,anchor:string>>").alias("outlinks"),
+        F.array(link(2)).cast("array<struct<url:string,anchor:string>>").alias("inlinks"),
+    )
+    return host_link_stats(fr2)
+
+
+ORACLE_HOST_LINK_STATS = f"""
+WITH {FRONTIER_SQL},
+outl AS (
+  SELECT host, 'src' || CAST((doc_id + 0) % 19 + 1 AS VARCHAR) || '.test' AS linked_host
+  FROM frontier
+  UNION ALL
+  SELECT host, 'src' || CAST((doc_id + 1) % 19 + 1 AS VARCHAR) || '.test'
+  FROM frontier
+),
+inl AS (
+  SELECT host, 'src' || CAST((doc_id + 2) % 19 + 1 AS VARCHAR) || '.test' AS linked_host
+  FROM frontier
+)
+SELECT host, linked_host, count(*) AS n, 'out' AS direction
+FROM outl GROUP BY host, linked_host
+UNION ALL
+SELECT host, linked_host, count(*) AS n, 'in' AS direction
+FROM inl GROUP BY host, linked_host
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -810,6 +910,8 @@ EXT_QUERIES = {
     "inlink_anchors": q_inlink_anchors,
     "host_politeness_override": q_host_politeness_override,
     "bandwidth_throttle": q_bandwidth_throttle,
+    "urlfilter_validator_tld": q_urlfilter_validator_tld,
+    "host_link_stats": q_host_link_stats,
 }
 
 EXT_ORACLES = {
@@ -827,4 +929,6 @@ EXT_ORACLES = {
     "inlink_anchors": ORACLE_INLINK_ANCHORS,
     "host_politeness_override": ORACLE_HOST_POLITENESS_OVERRIDE,
     "bandwidth_throttle": ORACLE_BANDWIDTH_THROTTLE,
+    "urlfilter_validator_tld": ORACLE_URLFILTER_VALIDATOR_TLD,
+    "host_link_stats": ORACLE_HOST_LINK_STATS,
 }

@@ -53,6 +53,34 @@ def get_url(frontier: DataFrame, url: str) -> DataFrame:
     return frontier.filter(F.col("url_hash") == urls.url_hash(url))
 
 
+def host_link_stats(frontier: DataFrame) -> DataFrame:
+    """Per-host link histograms (HostDbUpdateReducer.java:36-80):
+    for each page host, counts of inlinks/outlinks grouped by the
+    LINKED host — the host link-db the reference stores as two
+    histogram maps per Host row. One explode + one groupBy per
+    direction (a single shuffle each); oracle-checked by the
+    `host_link_stats` driver query."""
+    out = (
+        frontier.select(
+            "host", F.explode(F.coalesce("outlinks", F.array())).alias("l")
+        )
+        .select("host", urls.host_col(F.col("l.url")).alias("linked_host"))
+        .groupBy("host", "linked_host")
+        .agg(F.count("*").alias("n"))
+        .withColumn("direction", F.lit("out"))
+    )
+    inl = (
+        frontier.select(
+            "host", F.explode(F.coalesce("inlinks", F.array())).alias("l")
+        )
+        .select("host", urls.host_col(F.col("l.url")).alias("linked_host"))
+        .groupBy("host", "linked_host")
+        .agg(F.count("*").alias("n"))
+        .withColumn("direction", F.lit("in"))
+    )
+    return out.unionByName(inl)
+
+
 def build_host_table(frontier: DataFrame) -> DataFrame:
     """HostDb rebuild: per-host aggregates from the frontier
     (HostDbUpdateReducer.java:36-80)."""
