@@ -88,6 +88,42 @@ def sign_bits(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id") -> Data
     )
 
 
+def sign_bits_lit(
+    emb: DataFrame, plane_vectors: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, bits) like :func:`sign_bits`, but with the hyperplanes as
+    literal arrays evaluated in ONE pass per row. The crossJoin form
+    duplicates every embedding P times through the join (P x the Arrow
+    and shuffle volume); with P planes of d dims as literals the scan
+    stays single-pass — the right shape when P x d is small (planes
+    are broadcast-sized by definition). Bit semantics are identical:
+    sequential double accumulation, bit = dot >= 0."""
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in plane])
+            for plane in plane_vectors
+        ]
+    )
+    bits = F.concat_ws(
+        "",
+        F.transform(
+            planes_lit,
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), p, lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    return emb.select(id_col, bits.alias("bits"))
+
+
 def banded_pairs(
     bits: DataFrame, n_bands: int, band_len: int, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -137,7 +173,7 @@ def cosine_verify_pairs(
 
 def lsh_cosine_dedup(
     emb: DataFrame,
-    planes: DataFrame,
+    planes,
     n_bands: int,
     band_len: int,
     threshold: float,
@@ -145,8 +181,13 @@ def lsh_cosine_dedup(
 ) -> DataFrame:
     """bucket-join -> exact-cosine verify: the scale-safe near-dup
     pipeline (replaces the r1 within-label all-pairs join, which was
-    O(n^2/labels) and flagged `weak`)."""
-    bits = sign_bits(emb, planes, id_col)
+    O(n^2/labels) and flagged `weak`). ``planes`` is either a
+    DataFrame (plane_id, pe) or a local list of plane vectors (the
+    single-pass literal form)."""
+    if isinstance(planes, list):
+        bits = sign_bits_lit(emb, planes, id_col)
+    else:
+        bits = sign_bits(emb, planes, id_col)
     pairs = banded_pairs(bits, n_bands, band_len, id_col)
     return cosine_verify_pairs(emb, pairs, threshold, id_col)
 

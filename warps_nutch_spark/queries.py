@@ -702,9 +702,9 @@ SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
 # 1..16), 4 bands x 4 bits, exact-cosine verify > 0.2. At 100 TB the
 # same pipeline runs with 64-256 planes; these are query parameters,
 # not hardcoded operator constants (operators/ann.py).
-_ANN_PLANES = 16
+_ANN_PLANES = 32
 _ANN_BANDS = 4
-_ANN_BAND_LEN = 4
+_ANN_BAND_LEN = 8
 _ANN_THRESHOLD = 0.2
 
 
@@ -718,9 +718,15 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import lsh_cosine_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planes = emb.filter(F.col("vec_id").between(1, _ANN_PLANES)).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pe")
-    )
+    # planes are broadcast-sized by definition: collect them once and
+    # evaluate all plane dots in a single pass per row (the crossJoin
+    # form shuffled every embedding P times)
+    planes = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").between(1, _ANN_PLANES))
+        .orderBy("vec_id")
+        .collect()
+    ]
     return lsh_cosine_dedup(
         emb, planes, _ANN_BANDS, _ANN_BAND_LEN, _ANN_THRESHOLD
     )
