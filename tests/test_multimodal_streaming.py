@@ -109,3 +109,35 @@ def test_streaming_ingest_dedup_and_merge(spark, workdir):
     rows = {r["url"]: r for r in store.read().collect()}
     assert set(rows) == {"http://a.test/1", "http://b.test/2", "http://c.test/3"}
     assert rows["http://a.test/1"]["score"] == 1.0  # existing row untouched
+
+
+def test_streaming_ingest_feeds_bloom(spark, workdir):
+    """Every frontier-insertion path must feed the shared Bloom filter
+    (its no-false-negative invariant is what lets batch updatedb trust
+    maybe_seen=False): stream-ingested URLs must probe as maybe-seen."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.store.urlseen import BloomUrlSeen
+    from warps_nutch_spark.streaming import frontier_stream as fs
+
+    cfg = make_test_config()
+    store = ParquetFrontierStore(spark, f"{workdir}/bl-frontier", host_buckets=4)
+    seen = BloomUrlSeen(f"{workdir}/bl-urlseen", 4, 10_000, 0.01)
+    drop = f"{workdir}/bl-drop"
+    os.makedirs(drop)
+    batch = pd.DataFrame(
+        {
+            "url": [f"http://h{i % 3}.test/s/{i}" for i in range(30)],
+            "discovered_at": [pd.Timestamp("2024-01-01")] * 30,
+            "from_url": ["s"] * 30,
+            "score_hint": [0.0] * 30,
+        }
+    )
+    spark.createDataFrame(batch).write.mode("append").parquet(drop)
+    fs.run_ingest(
+        spark, drop, store, cfg, 1_700_000_000_000, f"{workdir}/bl-ckpt",
+        urlseen=seen,
+    )
+    probed = seen.maybe_seen(store.read().select("url_hash"), "url_hash")
+    assert probed.filter(~F.col("maybe_seen")).count() == 0

@@ -304,3 +304,23 @@ def test_inlinks_state_and_repr_url(spark):
     )
     # non-redirect fetched rows keep repr_url null
     assert rows["http://a.test/p"]["repr_url"] is None
+
+
+def test_retry_row_cash_reset_on_refetch(spark):
+    """A RETRY outcome is still a fetch attempt: OPIC distribute resets
+    its cash (OPICScoringFilter runs unconditionally), so a later
+    re-fetch distributes from the post-reset cash — the impl/oracle
+    divergence flagged in r1's review."""
+    cfg = make_test_config()
+    parsed = _parsed_df(
+        spark,
+        [
+            _parsed_row(
+                "http://a.test/flaky", [], cash=7.5, status=CrawlStatus.RETRY
+            )
+        ],
+    )
+    out = upd_op.updated_fetched_rows(parsed, cfg, NOW, "b1").collect()[0]
+    assert out["cash"] == 0.0
+    assert out["status"] == CrawlStatus.RETRY
+    assert out["retries_since_fetch"] == 1

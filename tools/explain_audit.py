@@ -106,6 +106,51 @@ def main():
         want=("BroadcastNestedLoopJoin", "TakeOrderedAndProject"),
     )
 
+    # 6. bucketed near-dup pipelines: candidates come from equi-joins
+    # on band buckets — NEVER a cross product
+    from warps_nutch_spark.queries import q_embedding_cosine_dedup
+    from warps_nutch_spark.queries_ext import q_detail_quota, q_simhash_pairs
+
+    audit(
+        "embedding_cosine_dedup_lsh",
+        q_embedding_cosine_dedup(spark, sf_dir),
+        want=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    audit(
+        "simhash_pairs",
+        q_simhash_pairs(spark, sf_dir),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+    # 7. detail quota: bounded TakeOrdered + broadcast join, no global sort
+    audit(
+        "detail_quota",
+        q_detail_quota(spark, sf_dir),
+        want=("TakeOrderedAndProject", "BroadcastHashJoin"),
+    )
+
+    # 8. MOR frontier read: base anti-join on delta keys (equality-
+    # delete scan), newest-delta dedup confined to the delta set
+    import tempfile
+
+    from warps_nutch_spark.store.frontier import ParquetFrontierStore
+
+    wd = tempfile.mkdtemp(prefix="wns-plan-mor-")
+    st = ParquetFrontierStore(spark, wd, host_buckets=4, compact_ratio=100.0)
+    base = spark.createDataFrame(
+        [(f"u{i}", f"h{i}", f"host{i % 3}.test", float(i)) for i in range(50)],
+        ["url_hash", "url", "host", "score"],
+    )
+    st.init(base)
+    st.merge(base.limit(5).withColumn("score", F.col("score") + 1))
+    audit(
+        "frontier_mor_read",
+        st.read(),
+        want=("LeftAnti",),
+        forbid=("CartesianProduct",),
+    )
+
     out = ["# PLANS — physical-plan audit\n"]
     out.append("| plan | check | ok |\n|---|---|---|\n")
     for name, check, ok in checks:
