@@ -192,6 +192,53 @@ def lsh_cosine_dedup(
     return cosine_verify_pairs(emb, pairs, threshold, id_col)
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, centroid_id): assign each vector to its nearest centroid
+    by cosine (IVF coarse quantizer). Centroids (``centroid_id``,
+    ``ce``) broadcast; ties break on centroid_id. At 100 TB the
+    assignment is computed once and persisted as a partition column so
+    probes prune partitions."""
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(F.broadcast(centroids))
+    cos = cosine_col(F.col("embedding"), F.col("ce"))
+    win = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        joined.select(id_col, "centroid_id", cos.alias("cos"))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` centroids nearest the query,
+    exact top-k only within their clusters — the inverted-file ANN
+    path (brute_force_topk is the exact baseline). Scale shape: the
+    candidate scan is ``n_probe / n_centroids`` of the corpus, and with
+    the assignment persisted as a partition column it is a partition-
+    pruned scan, not a filter."""
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("centroid_id", cosine_col(F.col("ce"), F.col("qe")).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    assign = ivf_assign(emb, centroids, id_col)
+    cand = emb.join(assign, on=id_col).join(
+        F.broadcast(probe), on="centroid_id", how="left_semi"
+    )
+    return brute_force_topk(cand, query, k, id_col)
+
+
 def allpairs_cosine(emb: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
     """All-pairs ground truth — TEST-TIME ONLY (O(n^2)); used by pytest
     to measure the LSH pipeline's recall on constructed near-dups."""

@@ -895,6 +895,135 @@ FROM inl GROUP BY host, linked_host
 """
 
 
+# ===========================================================================
+# S9 WebTableReader -stats: counts + score stats by status name
+# ===========================================================================
+def q_frontier_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.status import CrawlStatus
+    from .sources.readers import frontier_stats
+
+    st = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit(CrawlStatus.FETCHED))
+        .when(F.col("doc_id") % 6 == 1, F.lit(CrawlStatus.GONE))
+        .when(F.col("doc_id") % 6 == 2, F.lit(CrawlStatus.RETRY))
+        .when(F.col("doc_id") % 6 == 3, F.lit(CrawlStatus.REDIR_PERM))
+        .when(F.col("doc_id") % 6 == 4, F.lit(CrawlStatus.NOTMODIFIED))
+        .otherwise(F.lit(CrawlStatus.UNFETCHED))
+    )
+    fr = derived_frontier(spark, sf_dir).withColumn("status", st)
+    return frontier_stats(fr)
+
+
+def _status_name_case() -> str:
+    from .functions.status import CrawlStatus
+
+    whens = "\n".join(
+        f"    WHEN {code} THEN '{name}'" for code, name in CrawlStatus.NAMES.items()
+    )
+    return f"CASE CAST(st AS INTEGER)\n{whens}\n    ELSE 'unknown' END"
+
+
+def _oracle_frontier_status_stats() -> str:
+    from .functions.status import CrawlStatus as C
+
+    return f"""
+WITH {FRONTIER_SQL},
+st AS (
+  SELECT *, CASE CAST(doc_id % 6 AS INTEGER)
+    WHEN 0 THEN {C.FETCHED} WHEN 1 THEN {C.GONE} WHEN 2 THEN {C.RETRY}
+    WHEN 3 THEN {C.REDIR_PERM} WHEN 4 THEN {C.NOTMODIFIED}
+    ELSE {C.UNFETCHED} END AS st
+  FROM frontier
+)
+SELECT {_status_name_case()} AS status_name,
+       count(*) AS n,
+       round(avg(score), 6) AS avg_score,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM st GROUP BY 1
+"""
+
+
+# ===========================================================================
+# Token counting: whitespace words + BPE-ish regex runs (training-data
+# pipeline text analysis)
+# ===========================================================================
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0)).cast("bigint").alias("n_alpha_runs"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[0-9]+"), 0)).cast("bigint").alias("n_digit_runs"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[^a-z0-9\s]"), 0)).cast("bigint").alias("n_symbols"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_runs,
+  len(regexp_extract_all(lower(text), '[0-9]+')) AS n_digit_runs,
+  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_symbols
+FROM documents
+"""
+
+
+# ===========================================================================
+# IVF-style ANN: coarse-quantize to centroids, probe nearest clusters
+# ===========================================================================
+_IVF_CENTROIDS = 8
+_IVF_PROBE = 2
+_IVF_K = 10
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id").between(1, _IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), centroids, query, _IVF_K, _IVF_PROBE
+    )
+
+
+ORACLE_EMBEDDING_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_IVF_CENTROIDS}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM cent, q
+  ORDER BY list_cosine_similarity(CAST(ce AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC,
+           centroid_id ASC
+  LIMIT {_IVF_PROBE}
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.ce AS DOUBLE[])) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, cent c WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 4) AS cosine
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe p ON p.centroid_id = a.centroid_id, q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {_IVF_K}
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -912,6 +1041,9 @@ EXT_QUERIES = {
     "bandwidth_throttle": q_bandwidth_throttle,
     "urlfilter_validator_tld": q_urlfilter_validator_tld,
     "host_link_stats": q_host_link_stats,
+    "frontier_status_stats": q_frontier_status_stats,
+    "token_counts": q_token_counts,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
 EXT_ORACLES = {
@@ -931,4 +1063,7 @@ EXT_ORACLES = {
     "bandwidth_throttle": ORACLE_BANDWIDTH_THROTTLE,
     "urlfilter_validator_tld": ORACLE_URLFILTER_VALIDATOR_TLD,
     "host_link_stats": ORACLE_HOST_LINK_STATS,
+    "frontier_status_stats": _oracle_frontier_status_stats(),
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
 }
