@@ -40,7 +40,9 @@ CRAWL_WEB = (
     int(os.environ.get("WNS_BENCH_PAGES_BASE", "60")),
     42,
 )
-CRAWL_ROUNDS = int(os.environ.get("WNS_BENCH_ROUNDS", "2"))
+# 3 rounds so the per-round stage_sec trend shows updatedb cost is
+# O(updates), not O(frontier) (the merge-on-read fix)
+CRAWL_ROUNDS = int(os.environ.get("WNS_BENCH_ROUNDS", "3"))
 
 
 def run_crawl_bench(spark) -> dict:

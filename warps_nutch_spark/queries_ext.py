@@ -945,6 +945,23 @@ FROM st GROUP BY 1
 
 
 # ===========================================================================
+# S9 WebTableReader -dump -regex: predicate + column pruning
+# ===========================================================================
+def q_webtable_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import dump
+
+    fr = derived_frontier(spark, sf_dir)
+    return dump(fr, url_regex=r"/detail/\d+$", columns=["url", "host", "score"])
+
+
+ORACLE_WEBTABLE_DUMP = f"""
+WITH {FRONTIER_SQL}
+SELECT url, host, score FROM frontier
+WHERE regexp_matches(url, '/detail/\\d+$')
+"""
+
+
+# ===========================================================================
 # Token counting: whitespace words + BPE-ish regex runs (training-data
 # pipeline text analysis)
 # ===========================================================================
@@ -1042,6 +1059,7 @@ EXT_QUERIES = {
     "urlfilter_validator_tld": q_urlfilter_validator_tld,
     "host_link_stats": q_host_link_stats,
     "frontier_status_stats": q_frontier_status_stats,
+    "webtable_dump": q_webtable_dump,
     "token_counts": q_token_counts,
     "embedding_ivf_topk": q_embedding_ivf_topk,
 }
@@ -1064,6 +1082,7 @@ EXT_ORACLES = {
     "urlfilter_validator_tld": ORACLE_URLFILTER_VALIDATOR_TLD,
     "host_link_stats": ORACLE_HOST_LINK_STATS,
     "frontier_status_stats": _oracle_frontier_status_stats(),
+    "webtable_dump": ORACLE_WEBTABLE_DUMP,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
 }
