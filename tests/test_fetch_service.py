@@ -134,3 +134,38 @@ def test_lease_fairness_across_queues(spark, web):
     res = svc.ingest_fetch_results(tasks, denied, both, "b1", NOW)
     got = res.filter(F.col("fetched")).select("url", "fetch_ts").toPandas()
     assert (got["fetch_ts"] < NOW + 1000).all()
+
+
+def test_crowd_mode_crawl_matches_native_end_to_end(spark, tmp_path_factory):
+    """Two full crawls over the same SimWeb — one native, one
+    crowdsourced — must agree on the URL-seen set, statuses, scores,
+    cash and distances (fetch timestamps legitimately differ: workers
+    have no virtual politeness clock, so schedule times shift)."""
+    from warps_nutch_spark.plans.round import RoundDriver
+
+    web = simweb.SimWeb(*WEB)
+    seeds = spark.createDataFrame([(u,) for u in web.seeds(3)], ["value"])
+
+    def crawl(mode, wd):
+        cfg = make_test_config(
+            top_n=300, max_per_host=60, crawl_delay_ms=1000,
+            round_time_limit_ms=600_000, host_buckets=4,
+            bloom_partitions=4, fetch_mode=mode,
+        )
+        drv = RoundDriver(spark, str(wd), cfg, WEB, NOW)
+        drv.run(seeds, rounds=2)
+        return (
+            drv.store.read()
+            .select("url", "status", "score", "cash", "distance")
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    a = crawl("native", tmp_path_factory.mktemp("native"))
+    b = crawl("crowd", tmp_path_factory.mktemp("crowd"))
+    assert list(a.url) == list(b.url)
+    assert (a.status == b.status).all()
+    assert (a.distance == b.distance).all()
+    assert ((a.score - b.score).abs() < 1e-3).all()
+    assert ((a.cash - b.cash).abs() < 1e-3).all()

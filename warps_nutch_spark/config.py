@@ -99,6 +99,13 @@ class CrawlConfig:
     # <= 0 disables the throttle.
     bandwidth_mbytes: int = 0
 
+    # --- fetch mode (fetch/FetchMode.java NATIVE|PROXY|CROWDSOURCING) --
+    # "native": the in-engine politeness fetch engine;
+    # "crowd": publish leaseable tasks and ingest forwarded worker
+    # responses (operators/fetch_service.py). PROXY is a protocol swap
+    # inside native mode.
+    fetch_mode: str = "native"
+
     # --- partitioning / skew -------------------------------------------
     # partition.url.mode analog (URLPartitioner.java:69-104,
     # nutch-default.xml:603-605): the politeness-queue unit — byHost

@@ -302,10 +302,13 @@ class RoundDriver:
             if self._stage_data_ok(batch_id, "fetch"):
                 res = self._read_stage(batch_id, "fetch")  # resume: reuse
             else:
-                res = fetch_op.fetch(
-                    fetchlist, self._robots_df(), self.cfg, now, batch_id,
-                    self.web_params, host_config=self.host_config(),
-                )
+                if self.cfg.fetch_mode == "crowd":
+                    res = self._crowd_fetch(fetchlist, batch_id, now)
+                else:
+                    res = fetch_op.fetch(
+                        fetchlist, self._robots_df(), self.cfg, now, batch_id,
+                        self.web_params, host_config=self.host_config(),
+                    )
                 with python_stage_parallelism(self.spark):
                     res = self._write_stage(res, batch_id, "fetch")
             self._update_host_failures(res, batch_id)
@@ -422,6 +425,66 @@ class RoundDriver:
             "throughput_rows_per_sec": (fetched + updated) / elapsed if elapsed else 0.0,
             "stage_sec": {k: round(v, 2) for k, v in stage_times.items()},
         }
+
+    def _crowd_fetch(self, fetchlist: DataFrame, batch_id: str, now: int) -> DataFrame:
+        """FetchMode.CROWDSOURCING round: publish tasks, hand every
+        task to the crowd worker (default: the SimWeb protocol — the
+        same deterministic web native mode fetches), ingest the
+        forwarded responses. Swap ``self.crowd_worker`` for a REST
+        bridge in a real deployment."""
+        from ..operators import fetch_service as svc
+
+        tasks, denied = svc.emit_fetch_tasks(
+            fetchlist, self._robots_df(), self.cfg, batch_id
+        )
+        task_pdf = tasks.select("url_hash", "url").toPandas()
+        submitted = self.spark.createDataFrame(
+            self.crowd_worker(task_pdf, now), schema=(
+                "url_hash string, http_status int, bytes binary,"
+                " out_urls array<string>, fetch_ts long,"
+                " fetch_duration_ms long, worker_id string"
+            ),
+        )
+        return svc.ingest_fetch_results(tasks, denied, submitted, batch_id, now)
+
+    def crowd_worker(self, task_pdf, now: int):
+        """Default external-worker simulation over SimWeb (override or
+        monkeypatch for a real worker pool)."""
+        import numpy as np
+        import pandas as pd
+
+        from .. import simweb as sw
+
+        web = sw.SimWeb(*self.web_params)
+        hi, j, valid = sw.parse_urls(task_pdf["url"])
+        http = web.http_status(hi, j)
+        http[~valid] = 404
+        rows = []
+        for k in range(len(task_pdf)):
+            blob, out_urls = None, None
+            if http[k] == 200:
+                blob = web.render_payload_batch(hi[k : k + 1], j[k : k + 1])[0]
+                out_urls = web.outlinks_of(hi[k : k + 1], j[k : k + 1])[0]
+            elif http[k] in (301, 302):
+                out_urls = [str(web.redirect_target(hi[k : k + 1], j[k : k + 1])[0])]
+            rows.append(
+                {
+                    "url_hash": task_pdf["url_hash"].iloc[k],
+                    "http_status": int(http[k]),
+                    "bytes": blob,
+                    "out_urls": out_urls,
+                    "fetch_ts": int(now + k),
+                    "fetch_duration_ms": 5,
+                    "worker_id": f"worker-{k % 4}",
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "url_hash", "http_status", "bytes", "out_urls",
+                "fetch_ts", "fetch_duration_ms", "worker_id",
+            ],
+        )
 
     def _robots_df(self) -> DataFrame:
         from .. import simweb as sw
