@@ -988,6 +988,109 @@ FROM documents
 
 
 # ===========================================================================
+# Gap-based sessionization over the events table (batch analog of
+# Structured Streaming session windows)
+# ===========================================================================
+_SESSION_GAP_MIN = 30
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessions import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_minutes=_SESSION_GAP_MIN))
+
+
+ORACLE_EVENTS_SESSIONIZED = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                 OR us - prev_us > {_SESSION_GAP_MIN * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      ORDER BY us ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ===========================================================================
+# S8/X6: index-document build (BasicIndexingFilter + index-anchor)
+# ===========================================================================
+def q_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.indexer import build_index_documents
+
+    fr = derived_frontier(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    enriched = fr.select(
+        "url",
+        "host",
+        F.col("score").cast("float").alias("score"),
+        F.lit(NOW).alias("fetch_time"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(CrawlStatus.FETCHED))
+        .otherwise(F.lit(CrawlStatus.UNFETCHED))
+        .alias("status"),
+        F.concat(F.lit("caption of "), sid).alias("caption"),
+        F.concat(F.lit("img-"), sid).alias("image_id"),
+        (F.col("doc_id") * 17).cast("long").alias("phash"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("http://x.test/"), sid).alias("url"),
+                F.concat(F.lit("a"), (F.col("doc_id") % 3).cast("string")).alias("anchor"),
+            ),
+            F.struct(
+                F.concat(F.lit("http://y.test/"), sid).alias("url"),
+                F.concat(F.lit("a"), (F.col("doc_id") % 3 + 1).cast("string")).alias("anchor"),
+            ),
+        ).alias("inlinks"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("http://r.test/"), sid),
+        ).alias("repr_url"),
+    )
+    docs = build_index_documents(complete_rows(enriched, CFG, NOW))
+    return docs.select(
+        "url",
+        "host",
+        "domain",
+        "content",
+        "boost",
+        F.unix_micros("tstamp").alias("tstamp_us"),
+        "anchors",
+        "repr_url",
+    )
+
+
+ORACLE_INDEX_DOCUMENTS = f"""
+WITH {FRONTIER_SQL}
+SELECT url, host,
+  CASE WHEN len(string_split(host, '.')) >= 2
+       THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       ELSE host END AS domain,
+  'caption of ' || CAST(doc_id AS VARCHAR) AS content,
+  score AS boost,
+  CAST({NOW} AS BIGINT) * 1000 AS tstamp_us,
+  ['a' || CAST(doc_id % 3 AS VARCHAR), 'a' || CAST(doc_id % 3 + 1 AS VARCHAR)] AS anchors,
+  CASE WHEN doc_id % 5 = 0 THEN 'http://r.test/' || CAST(doc_id AS VARCHAR) END AS repr_url
+FROM frontier
+WHERE doc_id % 3 = 0
+"""
+
+
+# ===========================================================================
 # IVF-style ANN: coarse-quantize to centroids, probe nearest clusters
 # ===========================================================================
 _IVF_CENTROIDS = 8
@@ -1061,6 +1164,8 @@ EXT_QUERIES = {
     "frontier_status_stats": q_frontier_status_stats,
     "webtable_dump": q_webtable_dump,
     "token_counts": q_token_counts,
+    "events_sessionized": q_events_sessionized,
+    "index_documents": q_index_documents,
     "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
@@ -1084,5 +1189,7 @@ EXT_ORACLES = {
     "frontier_status_stats": _oracle_frontier_status_stats(),
     "webtable_dump": ORACLE_WEBTABLE_DUMP,
     "token_counts": ORACLE_TOKEN_COUNTS,
+    "events_sessionized": ORACLE_EVENTS_SESSIONIZED,
+    "index_documents": ORACLE_INDEX_DOCUMENTS,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
 }
