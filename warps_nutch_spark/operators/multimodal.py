@@ -144,6 +144,151 @@ def resize_images(
     return src.mapInPandas(run, schema=schema)
 
 
+AUDIO_FEATURE_FIELDS = [
+    T.StructField("au_channels", T.IntegerType()),
+    T.StructField("au_sample_rate", T.IntegerType()),
+    T.StructField("au_n_samples", T.LongType()),
+    T.StructField("au_duration_sec", T.DoubleType()),
+    T.StructField("au_rms", T.DoubleType()),
+    T.StructField("au_peak", T.DoubleType()),
+    T.StructField("au_zero_cross_rate", T.DoubleType()),
+    T.StructField("au_ok", T.BooleanType()),
+]
+
+
+def decode_pcm(blob: bytes, default_rate: int = 16_000) -> tuple[np.ndarray, int, int]:
+    """REAL audio decode without external libs: RIFF/WAVE PCM16 (the
+    uncompressed interchange format — a ~40-byte header walk) or raw
+    s16le PCM. Returns (samples float32 in [-1, 1] shaped (n, ch),
+    sample_rate, channels). Compressed formats (mp3/ogg/flac) need a
+    codec library and raise NotImplementedError — the stub gate, same
+    policy as external image formats."""
+    if blob[:3] == b"ID3" or blob[:4] in (b"OggS", b"fLaC"):
+        raise NotImplementedError(
+            "compressed audio (mp3/ogg/flac) needs a codec library not "
+            "present in the sandbox; decode via soundfile/pyav on a cluster"
+        )
+    rate, channels, data = default_rate, 1, blob
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        pos = 12
+        fmt_ok = False
+        data = b""
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            body = blob[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt = int.from_bytes(body[0:2], "little")
+                if audio_fmt != 1:  # only PCM is codec-free
+                    raise NotImplementedError("non-PCM WAVE needs a codec library")
+                channels = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                if bits != 16:
+                    raise NotImplementedError("only 16-bit PCM WAVE supported")
+                fmt_ok = True
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if not fmt_ok:
+            raise ValueError("WAVE without fmt chunk")
+    arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float32)
+    arr = arr / 32768.0
+    n = len(arr) // channels * channels
+    return arr[:n].reshape(-1, channels), rate, channels
+
+
+def audio_features(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    default_rate: int = 16_000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append audio feature columns (duration, RMS, peak, zero-crossing
+    rate) — real vectorized numpy over PCM samples, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {f.name: [None] * n for f in AUDIO_FEATURE_FIELDS}
+            cols["au_ok"] = [False] * n
+            for i, blob in enumerate(pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    samples, rate, ch = decode_pcm(bytes(blob), default_rate)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue
+                mono = samples.mean(axis=1)
+                cols["au_channels"][i] = ch
+                cols["au_sample_rate"][i] = rate
+                cols["au_n_samples"][i] = len(mono)
+                cols["au_duration_sec"][i] = len(mono) / rate if rate else 0.0
+                cols["au_rms"][i] = float(np.sqrt((mono**2).mean())) if len(mono) else 0.0
+                cols["au_peak"][i] = float(np.abs(mono).max()) if len(mono) else 0.0
+                cols["au_zero_cross_rate"][i] = (
+                    float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0
+                )
+                cols["au_ok"][i] = True
+            out = pdf.copy()
+            dtypes = {
+                "au_channels": "Int32", "au_sample_rate": "Int32",
+                "au_n_samples": "Int64", "au_duration_sec": "Float64",
+                "au_rms": "Float64", "au_peak": "Float64",
+                "au_zero_cross_rate": "Float64", "au_ok": "boolean",
+            }
+            for f in AUDIO_FEATURE_FIELDS:
+                out[f.name] = pd.array(cols[f.name], dtype=dtypes[f.name])
+            yield out
+
+    src = df.repartition(partitions) if partitions else df
+    schema = T.StructType(list(df.schema.fields) + AUDIO_FEATURE_FIELDS)
+    return src.mapInPandas(run, schema=schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_sec: float = 1.0,
+    bytes_col: str = "bytes",
+    default_rate: int = 16_000,
+) -> DataFrame:
+    """One output row per fixed-length chunk (the audio analog of
+    video frame sampling): (chunk_idx, chunk_bytes as raw s16le mono).
+    Real chunking math; same mapInPandas explode shape the video
+    sampler contracts."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[bytes_col]
+                if blob is None:
+                    continue
+                try:
+                    samples, rate, _ = decode_pcm(bytes(blob), default_rate)
+                except Exception:
+                    continue
+                mono = (samples.mean(axis=1) * 32767.0).astype("<i2")
+                step = max(1, int(chunk_sec * rate))
+                for ci in range(0, len(mono), step):
+                    r = row.to_dict()
+                    r["chunk_idx"] = ci // step
+                    r["chunk_bytes"] = mono[ci : ci + step].tobytes()
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_video(df: DataFrame, every_n: int = 30, bytes_col: str = "bytes") -> DataFrame:
     """STUB — video frame sampling.
 
