@@ -118,6 +118,13 @@ class CrawlConfig:
     # number of host-hash buckets the frontier is written under
     # (partition pruning analog of the reversed-key range scan)
     host_buckets: int = 64
+    # MOR compaction threshold: materialize a new base when total
+    # delta rows exceed this fraction of the base (store/frontier.py).
+    # Lower = cheaper reads, more rewrite; higher = cheaper writes,
+    # heavier MOR scans. During crawl expansion any ratio compacts at
+    # a geometric cadence, which amortizes to O(1) rewrites per
+    # doubling of the frontier.
+    frontier_compact_ratio: float = 0.5
     # salt factor for payload-parallel stages (never the politeness UDF)
     salt_factor: int = 8
 

@@ -86,7 +86,12 @@ class RoundDriver:
         self.cfg = cfg
         self.web_params = web_params
         self.start_ms = start_ms
-        self.store = ParquetFrontierStore(spark, os.path.join(workdir, "frontier"), cfg.host_buckets)
+        self.store = ParquetFrontierStore(
+            spark,
+            os.path.join(workdir, "frontier"),
+            cfg.host_buckets,
+            compact_ratio=cfg.frontier_compact_ratio,
+        )
         self.urlseen = BloomUrlSeen(
             os.path.join(workdir, "urlseen"),
             cfg.bloom_partitions,
