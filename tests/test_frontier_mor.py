@@ -158,3 +158,25 @@ def test_budget_dropped_rows_keep_generate_mark(spark, tmp_path_factory):
     assert got_marks == exp_marks
     # URL-seen set equality still holds under budget exhaustion
     assert {r.url for r in fr.itertuples()} == oracle.seen()
+
+
+def test_mor_equality_deletes(spark, tmp_path):
+    """Tombstone deltas (Iceberg equality-delete analog): deleted keys
+    vanish at read, O(deletes) write cost; compaction removes them
+    physically; a later merge can re-insert the key."""
+    st = _store(spark, tmp_path, compact_ratio=100.0)
+    st.init(_rows(spark, [("a", 1, 1.0), ("b", 2, 2.0), ("c", 1, 3.0)]))
+    st.merge(_rows(spark, [("d", 3, 4.0)]))
+    st.delete(spark.createDataFrame([("b",), ("d",)], ["url_hash"]))
+    got = {r["url_hash"] for r in st.read().collect()}
+    assert got == {"a", "c"}
+    kinds = [ln["kind"] for ln in st.lineage_chain()]
+    assert kinds == ["base", "delta", "delta"]  # delete was O(deletes)
+    # compaction drops tombstones physically and preserves the view
+    st.compact()
+    got2 = {r["url_hash"]: r["score"] for r in st.read().collect()}
+    assert got2 == {"a": 1.0, "c": 3.0}
+    assert "_tombstone" not in st.read().columns
+    # re-insert a deleted key
+    st.merge(_rows(spark, [("b", 2, 9.0)]))
+    assert {r["url_hash"]: r["score"] for r in st.read().collect()}["b"] == 9.0

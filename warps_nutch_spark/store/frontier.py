@@ -139,12 +139,15 @@ class ParquetFrontierStore(FrontierStore):
 
     def read(self) -> DataFrame:
         """MOR scan: base rows not shadowed by a delta key, plus the
-        newest delta row per key."""
+        newest delta row per key; tombstoned keys (equality deletes)
+        drop out entirely."""
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"frontier not initialized at {self.path}")
         base_v, deltas = self._layout()
         base = self.spark.read.parquet(self._data_dir(base_v))
+        if "_tombstone" in base.columns:  # never true after compaction
+            base = base.filter(~F.col("_tombstone")).drop("_tombstone")
         if not deltas:
             return base
         dl = None
@@ -152,6 +155,8 @@ class ParquetFrontierStore(FrontierStore):
             d = self.spark.read.parquet(self._data_dir(dv)).withColumn(
                 "_delta_v", F.lit(dv)
             )
+            if "_tombstone" not in d.columns:
+                d = d.withColumn("_tombstone", F.lit(False))
             dl = d if dl is None else dl.unionByName(d)
         # newest delta wins per key; the delta set is O(updates since
         # last compaction), so this window shuffles deltas, not the base
@@ -162,7 +167,8 @@ class ParquetFrontierStore(FrontierStore):
             .drop("_rn", "_delta_v")
         )
         kept = base.join(latest.select("url_hash"), on="url_hash", how="left_anti")
-        return kept.unionByName(latest.select(*base.columns))
+        live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
+        return kept.unionByName(live.select(*base.columns))
 
     def init(self, df: DataFrame, lineage: dict | None = None) -> int:
         return self._write_snapshot(
@@ -204,9 +210,37 @@ class ParquetFrontierStore(FrontierStore):
             self.compact()
         return self.current_version()
 
+    def delete(self, keys: DataFrame, lineage: dict | None = None) -> int:
+        """Equality delete (Iceberg MERGE ... WHEN MATCHED THEN DELETE
+        analog): append a tombstone delta carrying only the keys —
+        O(deletes), the rows vanish at read and physically at the next
+        compaction. ``keys`` must have url_hash (+ host for bucketing,
+        derived as empty when absent).
+
+        Bloom interplay: the URL-seen filter cannot unset bits, so a
+        deleted URL still probes maybe_seen=True — which routes it to
+        the exact frontier anti-join, where it correctly shows as new
+        and can be re-discovered. No invariant breaks (this is the
+        same path as any Bloom false positive)."""
+        base_v, _ = self._layout()
+        schema = self.spark.read.parquet(self._data_dir(base_v)).schema
+        tomb = keys.select("url_hash")
+        for field in schema.fields:
+            if field.name not in ("url_hash", "host_bucket"):
+                tomb = tomb.withColumn(field.name, F.lit(None).cast(field.dataType))
+        # tombstones have no host: spread them across buckets by key
+        tomb = tomb.withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64("url_hash"), F.lit(self.host_buckets)).cast("int"),
+        ).withColumn("_tombstone", F.lit(True))
+        return self._write_snapshot(
+            tomb, dict(lineage or {"op": "delete"}), kind="delta"
+        )
+
     def compact(self, lineage: dict | None = None) -> int:
         """Materialize the MOR view as a new base snapshot (Iceberg's
-        rewrite_data_files analog)."""
+        rewrite_data_files analog); tombstoned rows are physically
+        removed here."""
         df = self.read()
         return self._write_snapshot(df, dict(lineage or {"op": "compact"}), kind="base")
 
