@@ -111,7 +111,11 @@ def main():
     eff = eff_2_8
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "thread_scaling.json"), "w") as fj:
+        json.dump(summary, fj, indent=1)
+    # write the thread-scaling section to its own file — BASELINE.md is
+    # curated by hand and holds the executor-process headline
+    with open(os.path.join(REPO, "BENCH", "THREAD_SCALING.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north_rule protocol)
 
 The north rule's two-cluster-size criterion (>= 0.8 throughput scaling
@@ -169,7 +173,7 @@ Raw JSON:
 {json.dumps(summary, indent=1)}
 ```
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/THREAD_SCALING.md")
 
 
 if __name__ == "__main__":
