@@ -988,6 +988,56 @@ FROM documents
 
 
 # ===========================================================================
+# Skew handling: salted two-phase aggregation + salted replicate join —
+# results identical to the unsalted forms (that identity IS the oracle)
+# ===========================================================================
+def q_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        (F.sum("l_quantity"), F.sum, "sum_qty"),
+        (F.count("*"), F.sum, "n_rows"),
+        (F.max("l_extendedprice"), F.max, "max_price"),
+    ]
+    out = salted_two_phase_agg(li, "l_suppkey", aggs, salt_from="l_orderkey")
+    return out.select(
+        "l_suppkey",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "max_price",
+    )
+
+
+ORACLE_SALTED_HOST_AGG = """
+SELECT l_suppkey, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "l_partkey", buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT p_brand, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p_brand
+"""
+
+
+# ===========================================================================
 # Gap-based sessionization over the events table (batch analog of
 # Structured Streaming session windows)
 # ===========================================================================
@@ -1166,6 +1216,8 @@ EXT_QUERIES = {
     "token_counts": q_token_counts,
     "events_sessionized": q_events_sessionized,
     "index_documents": q_index_documents,
+    "salted_host_agg": q_salted_host_agg,
+    "salted_join": q_salted_join,
     "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
@@ -1191,5 +1243,7 @@ EXT_ORACLES = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "events_sessionized": ORACLE_EVENTS_SESSIONIZED,
     "index_documents": ORACLE_INDEX_DOCUMENTS,
+    "salted_host_agg": ORACLE_SALTED_HOST_AGG,
+    "salted_join": ORACLE_SALTED_JOIN,
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
 }
