@@ -123,6 +123,26 @@ def main():
         forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
 
+    # 6b. IVF ANN: probed-cluster candidates then bounded top-k;
+    # sessionization: window functions, single shuffle on the key
+    from warps_nutch_spark.queries_ext import (
+        q_embedding_ivf_topk,
+        q_events_sessionized,
+    )
+
+    audit(
+        "embedding_ivf_topk",
+        q_embedding_ivf_topk(spark, sf_dir),
+        want=("TakeOrderedAndProject",),
+        forbid=("CartesianProduct",),
+    )
+    audit(
+        "events_sessionized",
+        q_events_sessionized(spark, sf_dir),
+        want=("Window", "HashAggregate"),
+        forbid=("CartesianProduct",),
+    )
+
     # 7. detail quota: bounded TakeOrdered + broadcast join, no global sort
     audit(
         "detail_quota",
