@@ -57,6 +57,10 @@ def salted_join(
     one hot key's rows spread evenly) and the small side is replicated
     ``buckets`` times via a broadcast range. Row-level results are
     identical to ``big.join(small, key, how)``."""
+    if how not in ("inner", "left"):
+        # right/full would duplicate unmatched small-side rows once per
+        # replica; semi/anti lose the salt column semantics
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     bsalt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
     b = big.withColumn("_salt", bsalt)
     s = small.crossJoin(

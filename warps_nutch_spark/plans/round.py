@@ -436,7 +436,14 @@ class RoundDriver:
         task to the crowd worker (default: the SimWeb protocol — the
         same deterministic web native mode fetches), ingest the
         forwarded responses. Swap ``self.crowd_worker`` for a REST
-        bridge in a real deployment."""
+        bridge in a real deployment.
+
+        Scale note: the driver-side toPandas here is the WORKER
+        SIMULATION, not the contract — a production bridge leases from
+        the written task table (operators/fetch_service.lease_tasks
+        over the parquet artifact) and drops result files that
+        ingest_fetch_results reads, so no task ever rides through the
+        driver."""
         from ..operators import fetch_service as svc
 
         tasks, denied = svc.emit_fetch_tasks(
