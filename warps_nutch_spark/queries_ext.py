@@ -571,6 +571,50 @@ WHERE bit_count(xor(CAST(sa.simhash_bits AS BIT), CAST(sb.simhash_bits AS BIT)))
 
 
 # ===========================================================================
+# SimHash bucket -> candidate -> Jaccard verify: the full dedup
+# pipeline for SimHash (mirrors the proven minhash -> jaccard path)
+# ===========================================================================
+def q_dedup_simhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = q_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return jaccard_pairs(docs, cands)
+
+
+def _simhash_jaccard_sql() -> str:
+    return f"""
+WITH cands AS (
+  SELECT doc_a, doc_b FROM ( {_simhash_pairs_sql()} )
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6) > 0.0
+"""
+
+
+# ===========================================================================
 # reprUrl: representative URL on redirect (util/URLUtil.chooseRepr,
 # applied at TaskScheduler.java:731-774) — one case per rule branch
 # ===========================================================================
@@ -1218,6 +1262,7 @@ EXT_QUERIES = {
     "index_documents": q_index_documents,
     "salted_host_agg": q_salted_host_agg,
     "salted_join": q_salted_join,
+    "dedup_simhash_jaccard": q_dedup_simhash_jaccard,
     "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
@@ -1245,5 +1290,6 @@ EXT_ORACLES = {
     "index_documents": ORACLE_INDEX_DOCUMENTS,
     "salted_host_agg": ORACLE_SALTED_HOST_AGG,
     "salted_join": ORACLE_SALTED_JOIN,
+    "dedup_simhash_jaccard": _simhash_jaccard_sql(),
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
 }
