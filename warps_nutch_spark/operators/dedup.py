@@ -134,6 +134,92 @@ def text_profile_signature(
     return profile.select(F.col(id_col), F.md5("profile").alias("text_profile_sig"))
 
 
+def rolling_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_003,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme):
+    polynomial Rabin-Karp hash over character k-grams, then the min
+    hash of every window of ``window`` consecutive k-grams; the
+    distinct set of selected hashes is the document's fingerprint.
+
+    Pure integer column math (identical in Spark and the DuckDB
+    oracle); one explode + one window + one distinct — shuffles on
+    doc_id only. The classic rolling O(1)-per-position update is an
+    imperative optimization; declaratively each k-gram hash is a
+    k-term fold the engine vectorizes, same values."""
+    n_pos = F.length(text_col) - k + 1
+
+    def gram_hash(start):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * base + F.ascii(F.col(text_col).substr(start + j, F.lit(1)))) % mod,
+        )
+
+    # hash every k-gram ONCE into an array (one row per doc — the text
+    # never rides the explode), then winnow with a window min
+    hash_arr = F.transform(F.sequence(F.lit(1), n_pos), lambda i: gram_hash(i))
+    grams = docs.filter(n_pos >= window).select(
+        F.col(id_col),
+        n_pos.alias("n_pos"),
+        F.posexplode(hash_arr).alias("pos", "h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("fingerprint", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_pos") - window)  # posexplode pos is 0-based
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+
+
+def rolling_fingerprints_sql(
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_003,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`rolling_fingerprints` (same integer
+    math; list_reduce seeded with a prepended 0)."""
+    gram = (
+        f"list_reduce([CAST(0 AS BIGINT)] || "
+        f"list_transform(generate_series(0, {k - 1}), "
+        f"j -> CAST(ord(substr({text_col}, CAST(p + j AS INTEGER), 1)) AS BIGINT)), "
+        f"(acc, x) -> (acc * {base} + x) % {mod})"
+    )
+    return f"""
+WITH pos AS (
+  SELECT {id_col}, {text_col},
+         length({text_col}) - {k} + 1 AS n_pos,
+         unnest(generate_series(1, length({text_col}) - {k} + 1)) AS p
+  FROM {table}
+  WHERE length({text_col}) - {k} + 1 >= {window}
+),
+g AS (SELECT {id_col}, n_pos, p, {gram} AS h FROM pos),
+w AS (
+  SELECT {id_col}, n_pos, p,
+         min(h) OVER (PARTITION BY {id_col} ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint
+  FROM g
+)
+SELECT DISTINCT {id_col}, fingerprint FROM w
+WHERE p <= n_pos - {window - 1}
+"""
+
+
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) rows of word n-grams (n=3)."""
     t = docs.select(F.col(id_col), F.split(text_col, " ").alias("t")).filter(

@@ -615,6 +615,22 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6) > 0.
 
 
 # ===========================================================================
+# Winnowed rolling-hash fingerprints (MOSS scheme): Rabin-Karp over
+# char k-grams + per-window min selection
+# ===========================================================================
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import rolling_fingerprints
+
+    return rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _rolling_fingerprint_sql() -> str:
+    from .operators.dedup import rolling_fingerprints_sql
+
+    return rolling_fingerprints_sql()
+
+
+# ===========================================================================
 # reprUrl: representative URL on redirect (util/URLUtil.chooseRepr,
 # applied at TaskScheduler.java:731-774) — one case per rule branch
 # ===========================================================================
@@ -1263,6 +1279,7 @@ EXT_QUERIES = {
     "salted_host_agg": q_salted_host_agg,
     "salted_join": q_salted_join,
     "dedup_simhash_jaccard": q_dedup_simhash_jaccard,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
@@ -1291,5 +1308,6 @@ EXT_ORACLES = {
     "salted_host_agg": ORACLE_SALTED_HOST_AGG,
     "salted_join": ORACLE_SALTED_JOIN,
     "dedup_simhash_jaccard": _simhash_jaccard_sql(),
+    "rolling_fingerprint": _rolling_fingerprint_sql(),
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
 }
