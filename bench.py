@@ -5,10 +5,13 @@ Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
 throughput benchmark (the BASELINE.json metric: URLs fetched+updated
 per second per round) on a Zipf-skewed SimWeb frontier.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "crawl": {"fetched": n, "updated": n, "urls_per_sec": x}}
+Output protocol (r2 postmortem: the driver tail-buffers stdout, so a
+single giant line got its head truncated and parsed as null):
+  - full per-query timing map + crawl detail -> BENCH/bench_full.json
+    (and an earlier stdout line, best-effort)
+  - FINAL stdout line = compact headline-only JSON the driver parses:
+    {"metric": ..., "value": urls/sec, "unit": "urls/sec",
+     "queries": {...}, "sf": ..., "cpus": N, "crawl": {per-round stage_sec}}
 """
 
 from __future__ import annotations
@@ -116,23 +119,42 @@ def main() -> None:
     total = round(time.time() - total0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                # headline metric = the BASELINE.json crawl throughput;
-                # suite wall-time reported separately (r1 mislabeled the
-                # suite seconds as the throughput value)
-                "metric": "urls_fetched_plus_updated_per_sec",
-                "value": crawl["urls_per_sec"],
-                "unit": "urls/sec",
-                "suite_wall_sec": total,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl": crawl,
-                "cpus": CPUS,
-            }
-        )
-    )
+    # headline metric = the BASELINE.json crawl throughput; suite
+    # wall-time reported separately (r1 mislabeled the suite seconds as
+    # the throughput value)
+    headline = {
+        "metric": "urls_fetched_plus_updated_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "suite_wall_sec": total,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "crawl": {
+            "rounds": crawl["rounds"],
+            "fetched": crawl["fetched"],
+            "updated": crawl["updated"],
+            "elapsed_sec": crawl["elapsed_sec"],
+            "per_round_stage_sec": [
+                {
+                    k: v
+                    for k, v in s.items()
+                    if k.endswith("_sec") or k in ("fetched", "updated")
+                }
+                for s in crawl["per_round"]
+            ],
+        },
+    }
+    # full detail (all per-round counters) to a file + an EARLY stdout
+    # line; the driver tail-buffers stdout so the parseable headline
+    # must be the compact FINAL line
+    full_path = os.path.join(_REPO, "BENCH", "bench_full.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump({**headline, "crawl_detail": crawl}, fh, indent=1)
+    print(json.dumps({"crawl_detail": crawl}))
+    sys.stdout.flush()
+    print(json.dumps(headline))
     spark.stop()
 
 

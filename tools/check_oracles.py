@@ -19,16 +19,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _kind(dtype) -> str:
+    """Collapse numpy dtype kinds the way the driver's value-hash does:
+    integer widths hash alike, but int vs float vs bool vs string differ."""
+    k = np.dtype(dtype).kind if dtype != object else "O"
+    return {"i": "i", "u": "i", "f": "f", "b": "b", "M": "M"}.get(k, "s")
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the driver's canonicalizer: sort columns by name, sort
+    rows by all columns, NO value coercion. The driver sorts in pandas
+    and dies on unhashable cells, so any non-scalar output column is a
+    hard error here too (r2's index_documents miss); and it hashes raw
+    values, so int64 vs float64 or 3 vs 3.0 must FAIL, not be rounded
+    away (r2's slow_host_eviction miss)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            # lists -> tuples for sortability
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            sample = df[c].dropna()
+            if len(sample) and isinstance(
+                sample.iloc[0], (list, tuple, set, dict, np.ndarray)
+            ):
+                raise TypeError(
+                    f"non-scalar output column {c!r} "
+                    f"({type(sample.iloc[0]).__name__}) — the driver's canon "
+                    "sorts columns in pandas and rejects unhashable cells; "
+                    "flatten to a scalar (e.g. array_join(array_sort(...)))"
+                )
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -80,7 +97,12 @@ def main():
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL-duck] {name}: {str(e)[:200]}")
             continue
-        g, w = normalize(got), normalize(want)
+        try:
+            g, w = normalize(got), normalize(want)
+        except TypeError as e:
+            failures.append((name, f"CANON ERROR: {e}"))
+            print(f"[FAIL-canon] {name}: {str(e)[:200]}")
+            continue
         if list(g.columns) != list(w.columns):
             failures.append((name, f"columns {list(g.columns)} vs {list(w.columns)}"))
             print(f"[FAIL-cols] {name}: {list(g.columns)} vs {list(w.columns)}")
@@ -92,13 +114,24 @@ def main():
         eq = True
         for c in g.columns:
             a, b = g[c], w[c]
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                ok = np.allclose(
-                    a.astype(float).to_numpy(),
-                    b.astype(float).to_numpy(),
-                    rtol=1e-6,
-                    atol=1e-6,
-                    equal_nan=True,
+            # dtype-kind mismatch is a hash mismatch at the driver
+            # (DuckDB HUGEINT sums land as float64 in pandas: 3.0 != 3).
+            # Entirely-null columns are exempt: None (object) vs NaN
+            # (float64) hash alike at the driver (r2 retry_gone_schedule
+            # was green with a bare SQL NULL column).
+            if a.isna().all() and b.isna().all():
+                continue
+            if _kind(a.dtype) != _kind(b.dtype):
+                failures.append(
+                    (name, f"dtype kind mismatch col {c}: {a.dtype} vs {b.dtype}")
+                )
+                print(f"[FAIL-dtype] {name}: col {c} {a.dtype} vs {b.dtype}")
+                eq = False
+                break
+            if pd.api.types.is_float_dtype(a):
+                # the driver hashes values — floats must be bit-exact
+                ok = np.array_equal(
+                    a.to_numpy(dtype=float), b.to_numpy(dtype=float), equal_nan=True
                 )
             else:
                 ok = a.astype(str).equals(b.astype(str))

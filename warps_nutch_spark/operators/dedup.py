@@ -38,7 +38,16 @@ def simhash_bits(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     bit b (0..63) lives in hex char b//4 (high nibble first); each
     token votes +1/-1 per bit; majority (sum > 0) sets the bit.
+
+    The expensive part is the map-side partial aggregation (md5 + 64
+    bit-expressions per token row). When the input scan has fewer
+    partitions than cores (one small parquet file -> 1 partition) that
+    runs single-threaded, so spread the docs first; at real scale the
+    scan already has >= cores partitions and this is a no-op.
     """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = docs.select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -149,37 +158,56 @@ def rolling_fingerprints(
     distinct set of selected hashes is the document's fingerprint.
 
     Pure integer column math (identical in Spark and the DuckDB
-    oracle); one explode + one window + one distinct — shuffles on
-    doc_id only. The classic rolling O(1)-per-position update is an
+    oracle), computed entirely in the array domain inside each doc's
+    row: k-gram hashes -> per-window minima -> array_distinct -> explode
+    only the selected fingerprints. ZERO shuffles (no window, no
+    distinct) — the r2 version posexploded one row per character and
+    ran the winnow min as a doc_id window, a full O(total-chars)
+    shuffle. The classic rolling O(1)-per-position update is an
     imperative optimization; declaratively each k-gram hash is a
-    k-term fold the engine vectorizes, same values."""
+    k-term fold the engine vectorizes, same values.
+
+    The hash array is bound to a higher-order-function lambda variable
+    (``transform(array(hash_arr), arr -> ...)``) so it is evaluated
+    once per row; referencing the raw expression inside the per-window
+    lambda would re-evaluate all n_pos k-gram folds for every window."""
     n_pos = F.length(text_col) - k + 1
 
-    def gram_hash(start):
+    # split text to a char-code array ONCE and index into it: the naive
+    # per-position substr() fold re-slices the string n_pos*k times and
+    # measured 9x slower (9.8s vs 1.1s at sf0.1) than element_at over a
+    # bound codes array
+    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
+
+    def gram_hash(cs, start):
         return F.aggregate(
             F.sequence(F.lit(0), F.lit(k - 1)),
             F.lit(0).cast("long"),
-            lambda acc, j: (acc * base + F.ascii(F.col(text_col).substr(start + j, F.lit(1)))) % mod,
+            lambda acc, j: (acc * base + F.element_at(cs, (start + j).cast("int")))
+            % mod,
         )
 
     # hash every k-gram ONCE into an array (one row per doc — the text
-    # never rides the explode), then winnow with a window min
-    hash_arr = F.transform(F.sequence(F.lit(1), n_pos), lambda i: gram_hash(i))
-    grams = docs.filter(n_pos >= window).select(
-        F.col(id_col),
-        n_pos.alias("n_pos"),
-        F.posexplode(hash_arr).alias("pos", "h"),
-    )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    return (
-        grams.withColumn("fingerprint", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("n_pos") - window)  # posexplode pos is 0-based
-        .select(id_col, "fingerprint")
-        .distinct()
+    # never rides an explode), winnow in-place, emit distinct mins
+    fps = F.transform(
+        F.array(codes),  # single-element wrapper = evaluate-once binding
+        lambda cs: F.transform(
+            F.array(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(cs) - k + 1),
+                    lambda i: gram_hash(cs, i),
+                )
+            ),
+            lambda arr: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - window + 1),
+                    lambda w: F.array_min(F.slice(arr, w, window)),
+                )
+            ),
+        )[0],
+    )[0]
+    return docs.filter(n_pos >= window).select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
     )
 
 

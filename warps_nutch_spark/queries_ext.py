@@ -386,7 +386,7 @@ SELECT url,
                   CAST(floor(fetch_interval * {CFG.gone_interval_factor}) AS INTEGER))
        ELSE fetch_interval END AS BIGINT) AS new_interval,
   CAST(CASE WHEN is_retry THEN retries + 1 ELSE 0 END AS BIGINT) AS new_retries,
-  NULL AS generated_batch
+  CAST(NULL AS VARCHAR) AS generated_batch
 FROM cls
 """
 
@@ -485,7 +485,7 @@ ORACLE_SLOW_HOST_EVICTION = f"""
 WITH {FRONTIER_SQL},
 hs AS (
   SELECT host,
-         sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS failures,
+         CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failures,
          count(*) AS fetch_count,
          sum(doc_id % 1000) AS total_duration_ms
   FROM frontier GROUP BY host
@@ -508,42 +508,62 @@ _SIMHASH_K = 12
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = simhash_bits(docs).persist()
-    bands = None
-    for b in range(_SIMHASH_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.substring("simhash_bits", b * 16 + 1, 16).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # materialize sig ONCE: (a) the band projection below references
+    # simhash_bits SIX times (hi, lo, 4 band keys) and CollapseProject
+    # would re-inline the 64-expression vote aggregate into every
+    # reference (measured 19.7s construction vs ~5s for one sig pass);
+    # (b) the self-join would otherwise recompute sig per side (exchange
+    # reuse does not fire across the aliased subtrees). localCheckpoint
+    # instead of r2's .persist(): checkpoint blocks are ContextCleaner-
+    # GC'd when the DataFrame is dropped — no leak across a 51-query
+    # suite. sig is (doc_id, 64-char string): ~80B/doc, text stays behind.
+    sig = simhash_bits(docs).localCheckpoint(eager=True)
+    # one generator per signature row instead of 4 unioned scans, and the
+    # full bit string rides along so the Hamming verify needs no extra
+    # joins back to sig (r2 persisted sig across 6 scans and leaked the
+    # cache; this shape reads the documents table once per join side)
+    bands = sig.select(
+        "doc_id",
+        # signature as two 32-bit halves packed into longs: the Hamming
+        # verify becomes 2x bit_count(xor()) per candidate pair instead
+        # of 128 substring compares (the r2 shape) — bit-parallel, cheap
+        # enough that re-running it per duplicate candidate is free
+        F.conv(F.substring("simhash_bits", 1, 32), 2, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring("simhash_bits", 33, 32), 2, 10)
+        .cast("long")
+        .alias("lo"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash_bits", b * 16 + 1, 16)
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a, bb = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash_bits").alias("bits_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash_bits").alias("bits_b"))
-    verified = (
-        pairs.join(sa, on="doc_a")
-        .join(sb, on="doc_b")
-        .withColumn(
-            "hamming",
-            F.expr(
-                "cardinality(filter(sequence(1, 64),"
-                " i -> substring(bits_a, i, 1) != substring(bits_b, i, 1)))"
-            ).cast("bigint"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+                + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= _SIMHASH_K)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
-    return verified
 
 
 def _simhash_pairs_sql() -> str:
@@ -1179,7 +1199,10 @@ def q_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
         "boost",
         F.unix_micros("tstamp").alias("tstamp_us"),
-        "anchors",
+        # driver contract: scalar output columns only — the driver's
+        # canonicalizer sorts columns in pandas and dies on lists, so
+        # flatten the anchor set to a sorted joined string
+        F.array_join(F.array_sort("anchors"), "|").alias("anchors"),
         "repr_url",
     )
 
@@ -1193,7 +1216,7 @@ SELECT url, host,
   'caption of ' || CAST(doc_id AS VARCHAR) AS content,
   score AS boost,
   CAST({NOW} AS BIGINT) * 1000 AS tstamp_us,
-  ['a' || CAST(doc_id % 3 AS VARCHAR), 'a' || CAST(doc_id % 3 + 1 AS VARCHAR)] AS anchors,
+  array_to_string(list_sort(['a' || CAST(doc_id % 3 AS VARCHAR), 'a' || CAST(doc_id % 3 + 1 AS VARCHAR)]), '|') AS anchors,
   CASE WHEN doc_id % 5 = 0 THEN 'http://r.test/' || CAST(doc_id AS VARCHAR) END AS repr_url
 FROM frontier
 WHERE doc_id % 3 = 0
