@@ -180,3 +180,21 @@ def test_mor_equality_deletes(spark, tmp_path):
     # re-insert a deleted key
     st.merge(_rows(spark, [("b", 2, 9.0)]))
     assert {r["url_hash"]: r["score"] for r in st.read().collect()}["b"] == 9.0
+
+
+def test_mor_delete_with_host_colocates_tombstone(spark, tmp_path):
+    """A delete key carrying host must bucket its tombstone exactly like
+    the live row (with_bucket), so a bucket-pruned MOR read would see
+    tombstone and victim together."""
+    st = _store(spark, tmp_path, compact_ratio=100.0)
+    st.init(_rows(spark, [("a", 1, 1.0), ("b", 2, 2.0), ("c", 1, 3.0)]))
+    st.delete(
+        spark.createDataFrame([("b", "host2.test")], ["url_hash", "host"])
+    )
+    assert {r["url_hash"] for r in st.read().collect()} == {"a", "c"}
+    # tombstone landed in the victim's bucket
+    base = spark.read.parquet(os.path.join(str(tmp_path), "fr", "v000000", "data"))
+    victim_bucket = base.filter(F.col("url_hash") == "b").collect()[0]["host_bucket"]
+    tomb = spark.read.parquet(os.path.join(str(tmp_path), "fr", "v000001", "data"))
+    tb = tomb.filter(F.col("_tombstone")).collect()
+    assert len(tb) == 1 and tb[0]["host_bucket"] == victim_bucket

@@ -199,3 +199,49 @@ def test_audio_compressed_formats_stub_gate(spark):
         decode_pcm(b"ID3\x04" + b"\x00" * 100)
     with pt.raises(NotImplementedError):
         decode_pcm(b"OggS" + b"\x00" * 100)
+
+
+def test_audio_unknown_magic_is_failure_not_garbage(spark):
+    """Arbitrary binary must NOT silently decode as raw s16le: default
+    is decode failure (au_ok=False); allow_raw=True opts a known-raw
+    corpus back in."""
+    import numpy as np
+    import pytest as pt
+
+    from warps_nutch_spark.operators.multimodal import audio_features, decode_pcm
+
+    junk = b"\x89PNG\r\n\x1a\n" + b"\xde\xad\xbe\xef" * 64
+    with pt.raises(ValueError):
+        decode_pcm(junk)
+    raw = (np.sin(np.arange(1600) / 10) * 16384).astype("<i2").tobytes()
+    samples, rate, ch = decode_pcm(raw, default_rate=16_000, allow_raw=True)
+    assert (rate, ch, len(samples)) == (16_000, 1, 1600)
+
+    df = spark.createDataFrame([(0, junk), (1, raw)], "id int, bytes binary")
+    rows = {r["id"]: r for r in audio_features(df).collect()}
+    assert not rows[0]["au_ok"] and not rows[1]["au_ok"]  # default: no raw
+    rows = {r["id"]: r for r in audio_features(df, allow_raw=True).collect()}
+    # allow_raw is the caller asserting the whole corpus is raw s16le
+    assert rows[1]["au_ok"]
+
+
+def test_audio_compressed_row_does_not_abort_stage(spark):
+    """A single mp3/ogg blob in the batch lands as au_ok=False instead
+    of raising NotImplementedError through mapInPandas and killing the
+    whole Spark stage."""
+    from warps_nutch_spark.operators.multimodal import audio_features
+
+    blobs = [(0, _wav_bytes(440)), (1, b"ID3\x04" + b"\x00" * 100), (2, b"OggS" + b"\x00" * 50)]
+    df = spark.createDataFrame(blobs, "id int, bytes binary")
+    rows = {r["id"]: r for r in audio_features(df).collect()}
+    assert rows[0]["au_ok"] and not rows[1]["au_ok"] and not rows[2]["au_ok"]
+
+
+def test_audio_chunks_drop_source_blob(spark):
+    """chunk_audio must not amplify the source blob into every chunk."""
+    from warps_nutch_spark.operators.multimodal import chunk_audio
+
+    df = spark.createDataFrame([(1, _wav_bytes(50, sec=2.2))], "id int, bytes binary")
+    out = chunk_audio(df, chunk_sec=1.0)
+    assert "bytes" not in out.columns and "chunk_bytes" in out.columns
+    assert out.count() == 3

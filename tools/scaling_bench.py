@@ -116,12 +116,13 @@ def main():
     # write the thread-scaling section to its own file — BASELINE.md is
     # curated by hand and holds the executor-process headline
     with open(os.path.join(REPO, "BENCH", "THREAD_SCALING.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling evidence (north_rule protocol)
+        f.write(f"""# BENCH/THREAD_SCALING — single-JVM thread-scaling numbers
 
-The north rule's two-cluster-size criterion (>= 0.8 throughput scaling
-efficiency from N to 4N executors) is evidenced per BASELINE.md by
-running the SAME crawl job on the SAME input at two local parallelism
-levels: `local[8]` (N) and `local[32]` (4N), fresh JVM per level.
+Supplementary evidence only: this file holds SINGLE-JVM thread scaling
+(`local[8]` vs `local[32]`, fresh JVM per level, same crawl job and
+input). The executor-process scaling headline for the north rule's
+two-cluster-size criterion lives in the hand-curated BASELINE.md
+(tools/executor_scaling.py protocol).
 
 ## Input
 

@@ -14,8 +14,8 @@ Scale shapes:
   signatures, banded bucket-join for candidates (never all-pairs),
   exact cosine only on candidates. Mirrors the proven
   minhash -> band -> jaccard-verify pattern. ``n_planes``/``n_bands``
-  are parameters: the sandbox queries run 16 planes x 4 bands (small
-  data); a 100 TB corpus wants 64-256 planes with bands tuned to the
+  are parameters: the sandbox queries run 32 planes x 4 bands of 8
+  bits (small data); a 100 TB corpus wants 64-256 planes with bands tuned to the
   target cosine threshold (collision prob per plane = 1 - theta/pi).
 
 Hyperplanes are taken from a deterministic DataFrame (e.g. designated

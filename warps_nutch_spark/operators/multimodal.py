@@ -156,19 +156,30 @@ AUDIO_FEATURE_FIELDS = [
 ]
 
 
-def decode_pcm(blob: bytes, default_rate: int = 16_000) -> tuple[np.ndarray, int, int]:
+def decode_pcm(
+    blob: bytes, default_rate: int = 16_000, allow_raw: bool = False
+) -> tuple[np.ndarray, int, int]:
     """REAL audio decode without external libs: RIFF/WAVE PCM16 (the
-    uncompressed interchange format — a ~40-byte header walk) or raw
-    s16le PCM. Returns (samples float32 in [-1, 1] shaped (n, ch),
-    sample_rate, channels). Compressed formats (mp3/ogg/flac) need a
-    codec library and raise NotImplementedError — the stub gate, same
-    policy as external image formats."""
+    uncompressed interchange format — a ~40-byte header walk), plus raw
+    s16le PCM ONLY when the caller asserts the corpus is headerless raw
+    PCM via ``allow_raw=True`` — by default unknown magic is a decode
+    FAILURE (ValueError), not silently interpreted as samples: arbitrary
+    binary decoded as s16le yields plausible-looking garbage features.
+    Returns (samples float32 in [-1, 1] shaped (n, ch), sample_rate,
+    channels). Compressed formats (mp3/ogg/flac) need a codec library
+    and raise NotImplementedError — the stub gate, same policy as
+    external image formats."""
     if blob[:3] == b"ID3" or blob[:4] in (b"OggS", b"fLaC"):
         raise NotImplementedError(
             "compressed audio (mp3/ogg/flac) needs a codec library not "
             "present in the sandbox; decode via soundfile/pyav on a cluster"
         )
     rate, channels, data = default_rate, 1, blob
+    if not (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE") and not allow_raw:
+        raise ValueError(
+            "unknown audio container (not RIFF/WAVE PCM); pass "
+            "allow_raw=True only for corpora known to be raw s16le"
+        )
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         pos = 12
         fmt_ok = False
@@ -203,9 +214,14 @@ def audio_features(
     bytes_col: str = "bytes",
     default_rate: int = 16_000,
     partitions: int | None = None,
+    allow_raw: bool = False,
 ) -> DataFrame:
     """Append audio feature columns (duration, RMS, peak, zero-crossing
-    rate) — real vectorized numpy over PCM samples, Arrow-batched."""
+    rate) — real vectorized numpy over PCM samples, Arrow-batched.
+
+    Per-row failures (including NotImplementedError on a compressed
+    blob) land as ``au_ok=False`` instead of aborting the whole Spark
+    stage — one bad row in a 100 TB corpus must not kill the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,9 +232,7 @@ def audio_features(
                 if blob is None:
                     continue
                 try:
-                    samples, rate, ch = decode_pcm(bytes(blob), default_rate)
-                except NotImplementedError:
-                    raise
+                    samples, rate, ch = decode_pcm(bytes(blob), default_rate, allow_raw)
                 except Exception:
                     continue
                 mono = samples.mean(axis=1)
@@ -253,13 +267,19 @@ def chunk_audio(
     chunk_sec: float = 1.0,
     bytes_col: str = "bytes",
     default_rate: int = 16_000,
+    allow_raw: bool = False,
 ) -> DataFrame:
     """One output row per fixed-length chunk (the audio analog of
     video frame sampling): (chunk_idx, chunk_bytes as raw s16le mono).
     Real chunking math; same mapInPandas explode shape the video
-    sampler contracts."""
+    sampler contracts.
+
+    The source blob column is DROPPED from the output — keeping it
+    would copy the whole original blob into every chunk row
+    (n_chunks x blob bytes of pure amplification)."""
+    kept = [f for f in df.schema.fields if f.name != bytes_col]
     out_schema = T.StructType(
-        list(df.schema.fields)
+        kept
         + [
             T.StructField("chunk_idx", T.IntegerType()),
             T.StructField("chunk_bytes", T.BinaryType()),
@@ -274,13 +294,14 @@ def chunk_audio(
                 if blob is None:
                     continue
                 try:
-                    samples, rate, _ = decode_pcm(bytes(blob), default_rate)
+                    samples, rate, _ = decode_pcm(bytes(blob), default_rate, allow_raw)
                 except Exception:
                     continue
                 mono = (samples.mean(axis=1) * 32767.0).astype("<i2")
                 step = max(1, int(chunk_sec * rate))
+                base = {k: v for k, v in row.to_dict().items() if k != bytes_col}
                 for ci in range(0, len(mono), step):
-                    r = row.to_dict()
+                    r = dict(base)
                     r["chunk_idx"] = ci // step
                     r["chunk_bytes"] = mono[ci : ci + step].tobytes()
                     rows.append(r)

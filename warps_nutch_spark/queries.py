@@ -698,8 +698,8 @@ SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
 """
 
 
-# sign-LSH params for the dedup query: 16 hyperplanes (corpus rows
-# 1..16), 4 bands x 4 bits, exact-cosine verify > 0.2. At 100 TB the
+# sign-LSH params for the dedup query: 32 hyperplanes (corpus rows
+# 1..32), 4 bands x 8 bits, exact-cosine verify > 0.2. At 100 TB the
 # same pipeline runs with 64-256 planes; these are query parameters,
 # not hardcoded operator constants (operators/ann.py).
 _ANN_PLANES = 32

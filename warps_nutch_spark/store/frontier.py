@@ -214,8 +214,12 @@ class ParquetFrontierStore(FrontierStore):
         """Equality delete (Iceberg MERGE ... WHEN MATCHED THEN DELETE
         analog): append a tombstone delta carrying only the keys —
         O(deletes), the rows vanish at read and physically at the next
-        compaction. ``keys`` must have url_hash (+ host for bucketing,
-        derived as empty when absent).
+        compaction. ``keys`` must have url_hash; pass host too when
+        available so tombstones land in the SAME bucket as the live
+        rows they kill — a future host_bucket-pruned MOR read would
+        otherwise miss them and resurrect deleted rows (today read()
+        scans all buckets, so the url_hash fallback is merely
+        non-colocated, not wrong).
 
         Bloom interplay: the URL-seen filter cannot unset bits, so a
         deleted URL still probes maybe_seen=True — which routes it to
@@ -224,15 +228,24 @@ class ParquetFrontierStore(FrontierStore):
         same path as any Bloom false positive)."""
         base_v, _ = self._layout()
         schema = self.spark.read.parquet(self._data_dir(base_v)).schema
-        tomb = keys.select("url_hash")
+        has_host = "host" in keys.columns
+        tomb = keys.select("url_hash", *(["host"] if has_host else []))
         for field in schema.fields:
-            if field.name not in ("url_hash", "host_bucket"):
-                tomb = tomb.withColumn(field.name, F.lit(None).cast(field.dataType))
-        # tombstones have no host: spread them across buckets by key
-        tomb = tomb.withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64("url_hash"), F.lit(self.host_buckets)).cast("int"),
-        ).withColumn("_tombstone", F.lit(True))
+            if field.name in ("url_hash", "host_bucket") or field.name in tomb.columns:
+                continue
+            tomb = tomb.withColumn(field.name, F.lit(None).cast(field.dataType))
+        if has_host:
+            # bucket identically to live rows (with_bucket) so a
+            # bucket-pruned read sees tombstone and victim together
+            tomb = self.with_bucket(tomb)
+        else:
+            # no host available: spread by key (correct for full scans
+            # only — see docstring)
+            tomb = tomb.withColumn(
+                "host_bucket",
+                F.pmod(F.xxhash64("url_hash"), F.lit(self.host_buckets)).cast("int"),
+            )
+        tomb = tomb.withColumn("_tombstone", F.lit(True))
         return self._write_snapshot(
             tomb, dict(lineage or {"op": "delete"}), kind="delta"
         )
