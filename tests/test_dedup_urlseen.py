@@ -39,6 +39,91 @@ def test_jaccard_pairs(spark):
     assert (1, 3) not in out.index  # zero overlap filtered (j > 0)
 
 
+def _minhash_corpus(spark):
+    """Exact dups, a high-Jaccard near-dup pair, and unrelated docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near-dup of 1 (J = 6/9 on 3-gram shingles... high)
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "spark shuffles partition data across the cluster nodes fast"),
+        (6, base),  # second exact dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@pytest.mark.parametrize("n_hashes,n_bands", [(4, 2), (8, 4), (8, 8)])
+def test_minhash_lsh_parameterizations_vs_allpairs_jaccard(spark, n_hashes, n_bands):
+    """Every parameterization: exact duplicates are ALWAYS candidates
+    (identical shingle sets -> identical minhash vector), and every
+    candidate pair truly shares a shingle (equal band mins imply a
+    common minimizing shingle)."""
+    docs = _minhash_corpus(spark)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes, n_bands).collect()
+    }
+    assert {(1, 2), (1, 6), (2, 6)} <= cands  # exact dups always recalled
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            docs,
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [(a, b) for a in range(1, 7) for b in range(a + 1, 7)],
+                    columns=["doc_a", "doc_b"],
+                )
+            ),
+        ).collect()
+    }
+    for pair in cands:
+        assert truth.get(pair, 0.0) > 0.0, f"false candidate {pair}"
+
+
+def test_minhash_lsh_band_refinement_is_monotone(spark):
+    """For fixed n_hashes, more bands (shorter keys) only ADD candidate
+    pairs: a match on a concatenated band key implies a match on each
+    sub-key. This is the documented S-curve knob (threshold ~ (1/b)^(1/r))."""
+    docs = _minhash_corpus(spark)
+
+    def cand(n_bands):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, 8, n_bands).collect()
+        }
+
+    c1, c2, c4, c8 = cand(1), cand(2), cand(4), cand(8)
+    assert c1 <= c2 <= c4 <= c8
+    # the near-dup pair appears once bands are fine enough (r=1 bands
+    # collide iff SOME hash agrees — true here since J > 0.5)
+    assert (1, 3) in c8
+
+
+def test_langid_trigram_recall_on_multilingual_text(spark):
+    """The built-in trigram profiles pick the right language for
+    constructed sentences in each covered language, and 'unknown' for
+    text with no profile hits."""
+    from warps_nutch_spark.operators.langid import langid_trigram
+
+    rows = [
+        (1, "the cat sat on the mat and the dog is in the garden of things"),
+        (2, "der hund und die katze schlafen in einem schoenen garten"),
+        (3, "le chat et le chien dorment dans le jardin avec les fleurs"),
+        (4, "el perro y el gato duermen en una casa con los arboles"),
+        (5, "zzzz qqqq xxxx"),  # no profile trigrams
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["lang_guess"] for r in langid_trigram(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_minhash_lsh_rejects_indivisible_params(spark):
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(_minhash_corpus(spark), n_hashes=6, n_bands=4)
+
+
 def test_bloom_pre_screen_no_false_negatives(spark, workdir):
     bloom = BloomUrlSeen(f"{workdir}/bloom", partitions=4,
                          capacity_per_partition=10_000, fp_rate=0.01)

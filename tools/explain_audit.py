@@ -136,6 +136,47 @@ def main():
         want=("TakeOrderedAndProject",),
         forbid=("CartesianProduct",),
     )
+
+    # 6c. IVF with a MATERIALIZED index: the probe is a partition-pruned
+    # scan (PartitionFilters on centroid_id), reading exactly n_probe of
+    # the n_centroids partition dirs — not a post-scan filter
+    import tempfile as _tf
+
+    from warps_nutch_spark.operators.ann import ivf_topk_indexed, ivf_write_index
+
+    ivf_dir = os.path.join(_tf.mkdtemp(prefix="wns-plan-ivf-"), "ivf_index")
+    _emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _cent = _emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    _query = _emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    ivf_write_index(_emb.filter(F.col("vec_id") != 0), _cent, ivf_dir)
+    ivf_probe = ivf_topk_indexed(spark, ivf_dir, _cent, _query, k=10, n_probe=2)
+    audit(
+        "ivf_indexed_probe",
+        ivf_probe,
+        want=("PartitionFilters",),
+        forbid=("CartesianProduct",),
+    )
+    pruned_scan = spark.read.parquet(ivf_dir).filter(F.col("centroid_id").isin(1, 2))
+    # input_file_name() reflects the files ACTUALLY read at execution
+    # (inputFiles() lists the unpruned relation)
+    read_files = [
+        r[0] for r in pruned_scan.select(F.input_file_name()).distinct().collect()
+    ]
+    n_dirs = len({f.rsplit("/", 2)[-2] for f in read_files})
+    checks.append(
+        ("ivf_indexed_probe", f"scan reads exactly 2 partition dirs (got {n_dirs})", n_dirs == 2)
+    )
+    # and results match the unindexed ivf_topk
+    same = (
+        ivf_probe.exceptAll(q_embedding_ivf_topk(spark, sf_dir)).count() == 0
+    )
+    checks.append(("ivf_indexed_probe", "results == ivf_topk", same))
     audit(
         "events_sessionized",
         q_events_sessionized(spark, sf_dir),

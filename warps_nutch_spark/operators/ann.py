@@ -239,6 +239,54 @@ def ivf_topk(
     return brute_force_topk(cand, query, k, id_col)
 
 
+def ivf_write_index(
+    emb: DataFrame, centroids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Materialize the IVF inverted file: embeddings written to disk
+    PARTITIONED BY their centroid assignment. This is the 100 TB form
+    of :func:`ivf_topk`'s docstring claim — the assignment is computed
+    once, and every probe afterwards is a partition-pruned scan that
+    reads only n_probe / n_centroids of the corpus."""
+    assign = ivf_assign(emb, centroids, id_col)
+    (
+        emb.join(assign, on=id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over a materialized index (:func:`ivf_write_index`).
+
+    The probe list is n_probe ints chosen by ranking the (tiny,
+    broadcastable) centroid table against the single query vector —
+    resolved driver-side so the scan filter is LITERAL IN on the
+    partition column: static partition pruning (``PartitionFilters``
+    in the plan, ``n_probe`` partition dirs read), not a post-scan
+    filter. Same results as :func:`ivf_topk` by construction."""
+    probe_ids = [
+        r["centroid_id"]
+        for r in (
+            centroids.crossJoin(F.broadcast(query))
+            .select("centroid_id", cosine_col(F.col("ce"), F.col("qe")).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("centroid_id"))
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+    cand = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
+    return brute_force_topk(cand, query, k, id_col)
+
+
 def allpairs_cosine(emb: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
     """All-pairs ground truth — TEST-TIME ONLY (O(n^2)); used by pytest
     to measure the LSH pipeline's recall on constructed near-dups."""

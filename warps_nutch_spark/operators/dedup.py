@@ -248,20 +248,91 @@ WHERE p <= n_pos - {window - 1}
 """
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) rows of word n-grams (n=3)."""
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup: bool = True,
+) -> DataFrame:
+    """(id, shingle) rows of word n-grams. ``dedup=False`` skips the
+    distinct (one shuffle) for consumers like a min-aggregate that are
+    duplicate-insensitive."""
     t = docs.select(F.col(id_col), F.split(text_col, " ").alias("t")).filter(
         F.size("t") >= n
     )
-    return t.select(
+    sh = t.select(
         F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(t)-{n - 1}),"
-                " i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',element_at(t,i+2)))"
+                f" i -> array_join(slice(t, i, {n}), ' '))"
             )
         ).alias("shingle"),
-    ).distinct()
+    )
+    return sh.distinct() if dedup else sh
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    n_bands: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parameterized MinHash-LSH candidate pairs: shingle -> minhash ->
+    band -> bucket-join (never all-pairs).
+
+    Band-threshold math: with r = n_hashes/n_bands rows per band and b
+    = n_bands bands, a pair with true shingle-Jaccard s collides in a
+    given band with probability s^r and becomes a candidate with
+    probability 1 - (1 - s^r)^b; the S-curve threshold sits near
+    (1/b)^(1/r). The sandbox default (4 hashes, 2 bands -> r=2, b=2)
+    thresholds near 0.71; a 100 TB near-dup sweep wants e.g. 128
+    hashes / 32 bands (r=4 -> threshold ~0.42) — parameters, not code.
+
+    Refinement monotonicity (pinned by tests): for fixed n_hashes,
+    splitting into more bands only ADDS candidates (a match on a
+    concatenated band key implies a match on each of its sub-keys).
+    """
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    r = n_hashes // n_bands
+    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col, dedup=False)
+    # min over md5(shingle || ':i') is an order-free, engine-agnostic
+    # stand-in for the classic universal-hash family
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # one generator instead of n_bands unioned scans (single pass)
+    bands = mh.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 def jaccard_pairs(docs: DataFrame, candidates: DataFrame, threshold: float = 0.0) -> DataFrame:

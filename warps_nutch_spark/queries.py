@@ -502,43 +502,16 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash over 3-gram shingles, 4 hashes, 2 bands -> candidate
-    pairs per shared band bucket (the standard shingle->minhash->band->
-    bucket-join pipeline, fully shuffle-expressed)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
-    docs = docs.filter(F.size("t") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t)-2),"
-                " i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',element_at(t,i+2)))"
-            )
-        ).alias("shingle"),
-    )
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
-            for i in range(4)
-        ]
-    )
-    bands = mh.select(
-        "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
-    ).unionByName(
-        mh.select("doc_id", F.lit(1).alias("band"), F.concat("h2", "h3").alias("key"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return pairs
+    """MinHash over 3-gram shingles -> candidate pairs per shared band
+    bucket (the standard shingle->minhash->band->bucket-join pipeline,
+    fully shuffle-expressed). The 4-hash/2-band parameterization keeps
+    the oracle small; operators/dedup.minhash_lsh_pairs documents the
+    collision-probability math and takes n_hashes/n_bands as arguments
+    (tests sweep multiple parameterizations against all-pairs Jaccard)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n_hashes=4, n_bands=2, shingle_n=3)
 
 
 ORACLE_DEDUP_MINHASH_LSH = """
@@ -611,41 +584,21 @@ FROM documents
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword language heuristic (counts via length-replace)."""
-    docs = _t(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    """Char-trigram profile language ID (Cavnar-Trenkle style; the
+    r1/r2 stopword heuristic is superseded — operators/langid.py holds
+    the built-in profile table and the method notes)."""
+    from .operators.langid import langid_trigram
 
-    def hits(word):
-        pat = f" {word} "
-        return (
-            (F.length(padded) - F.length(F.regexp_replace(padded, pat, "")))
-            / len(pat)
-        ).cast("bigint")
-
-    en = hits("the") + hits("and") + hits("of") + hits("value") + hits("table")
-    return docs.select(
-        "doc_id",
-        en.alias("en_hits"),
-        F.when(en > 0, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
-    )
+    return langid_trigram(_t(spark, sf_dir, "documents"))
 
 
-ORACLE_LANGID = """
-WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
-h AS (
-  SELECT doc_id,
-    CAST((length(t) - length(regexp_replace(t, ' the ', '', 'g'))) / 5
-       + (length(t) - length(regexp_replace(t, ' and ', '', 'g'))) / 5
-       + (length(t) - length(regexp_replace(t, ' of ', '', 'g'))) / 4
-       + (length(t) - length(regexp_replace(t, ' value ', '', 'g'))) / 7
-       + (length(t) - length(regexp_replace(t, ' table ', '', 'g'))) / 7
-      AS BIGINT) AS en_hits
-  FROM p
-)
-SELECT doc_id, en_hits,
-  CASE WHEN en_hits > 0 THEN 'en' ELSE 'unknown' END AS lang_guess
-FROM h
-"""
+def _oracle_langid() -> str:
+    from .operators.langid import langid_trigram_sql
+
+    return langid_trigram_sql()
+
+
+ORACLE_LANGID = _oracle_langid()
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

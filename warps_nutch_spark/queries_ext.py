@@ -11,7 +11,7 @@ derived deterministically from the driver's parquet tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import CrawlConfig
@@ -832,6 +832,85 @@ FROM cfgd
 
 
 # ===========================================================================
+# Q2 politeness spacing — the virtual clock's TIMING, not just its order
+# (FetchQueue.java:339-346: nextFetchTime = endTime + crawlDelay).
+# fetch_ts[i] = round_start + sum over preceding queue rows of
+# (spacing + duration): the exact cumulative-sum the fetch group UDF's
+# imperative loop computes, expressed as a window cumsum so DuckDB can
+# replay it. Spacing comes from the REAL queue_spacing_cols resolution
+# (host-table overrides > robots > default); durations are the same
+# deterministic doc_id%1000 proxy slow_host_eviction uses.
+# ===========================================================================
+_SPACING_BUDGET_MS = 600_000
+
+
+def q_politeness_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fetch import queue_spacing_cols
+
+    fr = derived_frontier(spark, sf_dir)
+    c = F.substring(F.md5("host"), 1, 1)
+    q_cd = F.when(c.isin(*list("0123")), F.lit(2000)).otherwise(F.lit(None)).cast("long")
+    q_mt = F.when(c.isin(*list("2345")), F.lit(4)).otherwise(F.lit(None)).cast("int")
+    q_mcd = F.when(c.isin(*list("4567")), F.lit(250)).otherwise(F.lit(None)).cast("long")
+    robots = F.when(c.isin(*list("89ab")), F.lit(3000)).otherwise(F.lit(None)).cast("long")
+    _, _, spacing = queue_spacing_cols(q_cd, q_mt, q_mcd, robots, _POL_CFG)
+    dur = (F.col("doc_id") % 1000).cast("long")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.desc("score"), F.asc("url"), F.asc("doc_id")
+    )
+    cum = F.sum(spacing + dur).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = fr.select(
+        "url",
+        "host",
+        F.row_number().over(w).cast("bigint").alias("queue_pos"),
+        (F.lit(NOW) + F.coalesce(cum, F.lit(0))).cast("bigint").alias("fetch_ts"),
+    )
+    # feeder drain: rows whose slot starts past the round budget stay
+    # unfetched this round
+    return out.filter(F.col("fetch_ts") < NOW + _SPACING_BUDGET_MS)
+
+
+ORACLE_POLITENESS_SPACING = f"""
+WITH {FRONTIER_SQL},
+cfgd AS (
+  SELECT host,
+    CASE WHEN substr(md5(host),1,1) IN ('0','1','2','3') THEN 2000 END AS q_cd,
+    CASE WHEN substr(md5(host),1,1) IN ('2','3','4','5') THEN 4 END AS q_mt,
+    CASE WHEN substr(md5(host),1,1) IN ('4','5','6','7') THEN 250 END AS q_mcd,
+    CASE WHEN substr(md5(host),1,1) IN ('8','9','a','b') THEN 3000 END AS robots
+  FROM (SELECT DISTINCT host FROM frontier)
+),
+sp AS (
+  SELECT host,
+    CASE WHEN coalesce(q_mt, {_POL_CFG.threads_per_queue}) > 1
+         THEN coalesce(q_mcd, {_POL_CFG.min_crawl_delay_ms})
+         ELSE coalesce(q_cd, robots, {_POL_CFG.crawl_delay_ms}) END AS spacing
+  FROM cfgd
+),
+j AS (
+  SELECT f.url, f.host, f.doc_id, f.priority, f.score, sp.spacing
+  FROM frontier f JOIN sp USING (host)
+),
+ranked AS (
+  SELECT url, host,
+    CAST(row_number() OVER w AS BIGINT) AS queue_pos,
+    CAST({NOW} + coalesce(sum(spacing + doc_id % 1000) OVER (
+        PARTITION BY host
+        ORDER BY priority DESC, score DESC, url ASC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS fetch_ts
+  FROM j
+  WINDOW w AS (PARTITION BY host
+               ORDER BY priority DESC, score DESC, url ASC, doc_id ASC)
+)
+SELECT url, host, queue_pos, fetch_ts FROM ranked
+WHERE fetch_ts < {NOW + _SPACING_BUDGET_MS}
+"""
+
+
+# ===========================================================================
 # Q6 bandwidth throttle: pending x avgPageBytes x 8 > 30 x bandwidth
 # (TaskScheduler.java:391-394) -> per-queue row cap
 # ===========================================================================
@@ -1291,6 +1370,7 @@ EXT_QUERIES = {
     "repr_url": q_repr_url,
     "inlink_anchors": q_inlink_anchors,
     "host_politeness_override": q_host_politeness_override,
+    "politeness_spacing": q_politeness_spacing,
     "bandwidth_throttle": q_bandwidth_throttle,
     "urlfilter_validator_tld": q_urlfilter_validator_tld,
     "host_link_stats": q_host_link_stats,
@@ -1320,6 +1400,7 @@ EXT_ORACLES = {
     "repr_url": ORACLE_REPR_URL,
     "inlink_anchors": ORACLE_INLINK_ANCHORS,
     "host_politeness_override": ORACLE_HOST_POLITENESS_OVERRIDE,
+    "politeness_spacing": ORACLE_POLITENESS_SPACING,
     "bandwidth_throttle": ORACLE_BANDWIDTH_THROTTLE,
     "urlfilter_validator_tld": ORACLE_URLFILTER_VALIDATOR_TLD,
     "host_link_stats": ORACLE_HOST_LINK_STATS,
