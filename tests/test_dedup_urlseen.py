@@ -1,5 +1,6 @@
 """Dedup operators (simhash, jaccard) + Bloom URL-seen unit tests."""
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -194,3 +195,47 @@ def test_lsh_cosine_dedup_recall_and_precision(spark):
     assert got <= truth
     # recall: banded LSH finds nearly all of them
     assert len(got) / len(truth) >= 0.9, (len(got), len(truth))
+
+
+def test_phash_hamming_pairs_real_images(spark):
+    """hamming_pairs_int64 over REAL DCT pHashes: banded bucket join
+    must recover exactly the brute-force Hamming<=t pairs (pigeonhole:
+    t=7 < n_bands=8 guarantees recall; the verify step guarantees
+    precision)."""
+    import itertools
+
+    from warps_nutch_spark.functions import codec
+
+    imgs = {}
+    for i in range(8):
+        px = codec.synth_pixels(i * 101, 32, 32)
+        imgs[f"img-{i}"] = codec.phash(px)
+        # perturbed twin: tiny brightness nudge in one corner ->
+        # perceptually identical -> small Hamming distance
+        px2 = px.copy()
+        px2[:4, :4] = np.clip(px2[:4, :4].astype(int) + 2, 0, 255).astype(px.dtype)
+        imgs[f"img-{i}-tw"] = codec.phash(px2)
+
+    max_h, n_bands = 7, 8
+    truth = {
+        (a, b)
+        for (a, ha), (b, hb) in itertools.combinations(sorted(imgs.items()), 2)
+        if codec.hamming64(ha, hb) <= max_h
+    }
+    # sanity: at least half the planted twins land within threshold
+    twins = {p for p in truth if p[0] + "-tw" == p[1]}
+    assert len(twins) >= 4
+
+    sigs = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": list(imgs), "phash": list(imgs.values())}
+        )
+    )
+    got = dedup.hamming_pairs_int64(
+        sigs, sig_col="phash", id_col="image_id", n_bands=n_bands, max_hamming=max_h
+    ).toPandas()
+    got_pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
+    assert got_pairs == truth
+    # verify column is the true distance
+    for r in got.itertuples():
+        assert r.hamming == codec.hamming64(imgs[r.id_a], imgs[r.id_b])

@@ -1,0 +1,106 @@
+"""Connected components over candidate-pair edges — the cluster
+resolution step every dedup pipeline needs between "pairs" and
+"canonical survivor per group".
+
+Reference semantics: the reference resolves duplicate groups via its
+signature tables and per-key reduce (``crawl/DbUpdateReducer.java``
+merges by key; cross-page duplicate clusters are the transitive
+closure of the pairwise signature matches). Here the closure runs as
+the alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard shuffle-bounded formulation:
+
+- ``large_star``: every node connects its LARGER neighbors to the
+  minimum of its closed neighborhood;
+- ``small_star``: every node connects its smaller-or-equal neighbors
+  to that minimum.
+
+Each step is one groupBy + one join (two shuffles); the edge set
+converges to stars (child -> component-min root) in O(log^2 n) rounds
+— in practice a handful, since dedup-cluster diameters are tiny. No
+driver-side graph state: the only collected value per round is the
+O(1) convergence fingerprint (count + xxhash64 checksum).
+
+Scale notes (100 TB): each iteration's shuffle is proportional to the
+CURRENT edge set, which never grows beyond the symmetric closure of
+the input and star-collapses monotonically. ``localCheckpoint``
+truncates the lineage each round so the plan does not deepen. Skewed
+super-nodes (a million-member dup cluster) are bounded by large-star
+itself: after one round every member points at the root, so no node
+keeps a giant adjacency across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient every edge large -> small, then hang each node's smaller
+    # neighborhood (plus itself) off the minimum
+    orient = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = orient.groupBy("u").agg(F.min("v").alias("m"))
+    hang = (
+        orient.join(m, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return hang
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, with
+    component = min node id of its connected component. Nodes not in
+    any pair are absent (callers left-join and coalesce to self)."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged edge set is a star forest: u -> root(min). Roots appear
+    # only on the v side; add their self-rows.
+    nodes = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return nodes.unionByName(roots).distinct()

@@ -366,3 +366,70 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame, threshold: float = 0.0
         )
     )
     return out.filter(F.col("jaccard") > threshold)
+
+
+def hamming_pairs_int64(
+    sigs: DataFrame,
+    sig_col: str = "phash",
+    id_col: str = "image_id",
+    n_bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs over a 64-bit integer signature (image
+    pHash, ``crawl/PhashSignature`` semantics: DCT perceptual hash,
+    near-dup iff Hamming(a, b) <= t) — banded bucket join, never
+    all-pairs.
+
+    Pigeonhole guarantee: splitting 64 bits into ``n_bands`` equal
+    bands, any pair within Hamming distance < n_bands must agree
+    exactly on at least one band, so bucket-joining per band has
+    perfect recall for max_hamming < n_bands * 1 ... more precisely a
+    pair at distance d can disagree on at most d bands, hence collides
+    whenever d < n_bands. For d up to 6 use n_bands >= 7, or accept
+    banded recall (documented per call site). The verify step is exact
+    (bit_count of xor), so banding only affects recall, never
+    precision.
+
+    Scale shape: one generator per row (n_bands band rows), one
+    shuffle for the self-join on (band, key), exact verify on
+    candidates only. At 10^10 images this is the same plan — band
+    buckets are ~uniform because pHash bits are decorrelated by the
+    DCT.
+    """
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col(sig_col), b * width).bitwiseAND(F.lit(mask)))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

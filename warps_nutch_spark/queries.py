@@ -514,8 +514,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n_hashes=4, n_bands=2, shingle_n=3)
 
 
-ORACLE_DEDUP_MINHASH_LSH = """
-WITH toks AS (
+# pair CTEs shared with the dedup_components closure oracle
+MINHASH_PAIR_CTES = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ),
@@ -533,10 +533,16 @@ mh AS (
 bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh
   UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {MINHASH_PAIR_CTES}
+SELECT doc_a, doc_b FROM lsh_pairs
 """
 
 

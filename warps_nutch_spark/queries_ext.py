@@ -1356,6 +1356,128 @@ LIMIT {_IVF_K}
 """
 
 
+# ===========================================================================
+# Dedup cluster resolution: pairs -> connected components -> canonical
+# doc per cluster (transitive closure of pairwise signature matches;
+# the reference's per-key merge in crawl/DbUpdateReducer.java only sees
+# same-key groups — cross-page dup CLUSTERS need the closure). Spark
+# side: alternating large-star/small-star (operators/cc.py); oracle:
+# recursive-CTE reachability (fine at oracle scale — the Spark side is
+# the one that must survive 10^10 rows, and its shuffles are bounded
+# per round).
+# ===========================================================================
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cc import connected_components
+    from .operators.dedup import minhash_lsh_pairs
+    from .queries import _t as _tt
+
+    docs = _tt(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n_hashes=4, n_bands=2, shingle_n=3)
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+def _dedup_components_sql() -> str:
+    from .queries import MINHASH_PAIR_CTES
+
+    return f"""
+WITH RECURSIVE {MINHASH_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+  UNION SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+  coalesce(c.component, d.doc_id) AS component,
+  coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+# ===========================================================================
+# X4 image near-dup: pHash Hamming pairs — banded bucket join over the
+# 64-bit perceptual hash (crawl/PhashSignature semantics; the real DCT
+# pHash over WNIM pixels is computed in operators/parse.py:92 and
+# pinned by pytest — this driver query exercises the pairing operator
+# on a SQL-derivable 60-bit surrogate so DuckDB can replay it).
+# Planted near-dups: every doc with doc_id % 50 == 1 carries its
+# predecessor's hash with <= 2 bits flipped (Hamming <= 2 < n_bands=4,
+# so banding has perfect recall by pigeonhole).
+# ===========================================================================
+def _phash_col():
+    """60-bit surrogate pHash: hex(md5) -> int64, with planted bit
+    flips. Anchor = doc_id-1 for planted rows so the pair partner
+    shares the base hash."""
+    anchor = F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    base = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ph"), anchor.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    flips = F.expr(
+        "shiftleft(1L, cast(doc_id % 60 as int)) ^ "
+        "shiftleft(1L, cast((doc_id * 7 + 3) % 60 as int))"
+    )
+    return F.when(F.col("doc_id") % 50 == 1, base.bitwiseXOR(flips)).otherwise(base)
+
+
+def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import hamming_pairs_int64
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(F.col("doc_id").alias("image_id"), _phash_col().alias("phash"))
+    pairs = hamming_pairs_int64(
+        sigs, sig_col="phash", id_col="image_id", n_bands=4, max_hamming=6
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+ORACLE_PHASH_HAMMING_PAIRS = """
+WITH ph AS (
+  SELECT doc_id AS image_id,
+    xor(
+      CAST(CONCAT('0x', substr(md5('ph' || CAST(
+        CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS VARCHAR)), 1, 15)) AS BIGINT),
+      CASE WHEN doc_id % 50 = 1
+           THEN xor(CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT),
+                    CAST(1 AS BIGINT) << CAST((doc_id * 7 + 3) % 60 AS INT))
+           ELSE CAST(0 AS BIGINT) END
+    ) AS phash
+  FROM documents
+),
+bands AS (
+  SELECT image_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
+  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         a.phash AS sig_a, b.phash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -1384,6 +1506,8 @@ EXT_QUERIES = {
     "dedup_simhash_jaccard": q_dedup_simhash_jaccard,
     "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "phash_hamming_pairs": q_phash_hamming_pairs,
+    "dedup_components": q_dedup_components,
 }
 
 EXT_ORACLES = {
@@ -1414,4 +1538,6 @@ EXT_ORACLES = {
     "dedup_simhash_jaccard": _simhash_jaccard_sql(),
     "rolling_fingerprint": _rolling_fingerprint_sql(),
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
+    "phash_hamming_pairs": ORACLE_PHASH_HAMMING_PAIRS,
+    "dedup_components": _dedup_components_sql(),
 }
