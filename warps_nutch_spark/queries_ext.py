@@ -1410,6 +1410,65 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 
 
 # ===========================================================================
+# scoring-link plugin: LinkRank power iteration (the external
+# link-analysis score LinkAnalysisScoringFilter.java expects; see
+# operators/linkrank.py). Deterministic 3-outlink graph over documents
+# (v = (u*7 + k) mod n, k=1..3) so DuckDB can rebuild the same edges;
+# 3 damped iterations in integer micro-units, unrolled as CTEs in the
+# oracle.
+# ===========================================================================
+_LR_ITERS = 3
+
+
+def q_linkrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkrank import linkrank
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count("*").alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("u"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+            "n",
+        )
+        .select("u", ((F.col("u") * 7 + F.col("k")) % F.col("n")).alias("v"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    scores = linkrank(nodes, edges, iterations=_LR_ITERS)
+    return scores.select(F.col("node").alias("doc_id"), "score_u6")
+
+
+def _linkrank_sql(iters: int = _LR_ITERS) -> str:
+    ctes = [
+        """edges AS (
+  SELECT doc_id AS u,
+         (doc_id * 7 + k.k) % (SELECT count(*) FROM documents) AS v
+  FROM documents, (SELECT unnest([1, 2, 3]) AS k) k
+  WHERE (doc_id * 7 + k.k) % (SELECT count(*) FROM documents) <> doc_id
+)""",
+        "odeg AS (SELECT u, count(*) AS odeg FROM edges GROUP BY u)",
+        "it0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS s FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""it{i} AS (
+  SELECT d.doc_id AS node,
+    CAST(150000 + (85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS s
+  FROM documents d LEFT JOIN (
+    SELECT e.v AS node, sum(p.s // dg.odeg) AS inflow
+    FROM edges e
+    JOIN it{i - 1} p ON p.node = e.u
+    JOIN odeg dg ON dg.u = e.u
+    GROUP BY e.v
+  ) c ON c.node = d.doc_id
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT node AS doc_id, s AS score_u6 FROM it{iters}"
+
+
+# ===========================================================================
 # X4 image near-dup: pHash Hamming pairs — banded bucket join over the
 # 64-bit perceptual hash (crawl/PhashSignature semantics; the real DCT
 # pHash over WNIM pixels is computed in operators/parse.py:92 and
@@ -1508,6 +1567,7 @@ EXT_QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "phash_hamming_pairs": q_phash_hamming_pairs,
     "dedup_components": q_dedup_components,
+    "linkrank_scores": q_linkrank_scores,
 }
 
 EXT_ORACLES = {
@@ -1540,4 +1600,5 @@ EXT_ORACLES = {
     "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
     "phash_hamming_pairs": ORACLE_PHASH_HAMMING_PAIRS,
     "dedup_components": _dedup_components_sql(),
+    "linkrank_scores": _linkrank_sql(),
 }
