@@ -56,3 +56,110 @@ def write_index(docs: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Sandbox sink. Production: ``docs.write.format("es")...`` or a
     Solr connector — the document DataFrame is identical."""
     docs.write.mode("append").format(fmt).save(path)
+
+
+# ---------------------------------------------------------------------------
+# Elasticsearch-compatible bulk sink
+# ---------------------------------------------------------------------------
+# Reference: ``plugin/indexer-elastic/.../ElasticIndexWriter.java`` —
+# buffers index requests and flushes a bulk when bulkDocs >=
+# MAX_BULK_DOCS or bulkLength >= MAX_BULK_LENGTH (:150-163), supports
+# per-key deletes (:166), and fails the task on bulk item errors
+# (:190-205). The wire format is the public ES ``_bulk`` NDJSON
+# protocol: an action line then a source line per document.
+#
+# Spark-first split: the NDJSON construction is pure Column work
+# (to_json, JVM-side, codegen); only the transport is per-partition
+# Python, and it is I/O-bound batching, not per-row compute.
+
+BULK_MAX_DOCS = 250  # ElasticConstants.MAX_BULK_DOCS default
+BULK_MAX_BYTES = 2_500_500  # ElasticConstants.MAX_BULK_LENGTH default
+
+
+def to_bulk_ndjson(
+    docs: DataFrame, index_name: str = "nutch", id_col: str = "id"
+) -> DataFrame:
+    """One ``line`` per document holding its two-line bulk entry
+    (action + source, '\\n'-joined). Entirely JVM-side."""
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index_name).alias("_index"), F.col(id_col).alias("_id")
+            ).alias("index")
+        )
+    )
+    source = F.to_json(F.struct(*[F.col(c) for c in docs.columns]))
+    return docs.select(F.concat_ws("\n", action, source).alias("line"))
+
+
+def deletes_bulk_ndjson(keys: DataFrame, index_name: str = "nutch", id_col: str = "id") -> DataFrame:
+    """Delete action lines (ElasticIndexWriter.delete:166-171)."""
+    return keys.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(index_name).alias("_index"), F.col(id_col).alias("_id")
+                ).alias("delete")
+            )
+        ).alias("line")
+    )
+
+
+def write_bulk_files(lines: DataFrame, path: str) -> None:
+    """Distributed NDJSON shards, each directly POST-able to
+    ``/_bulk`` — the file-sink twin of the live writer (air-gapped
+    clusters index via exactly such shard files)."""
+    lines.write.mode("overwrite").text(path)
+
+
+def push_bulk_http(
+    lines: DataFrame,
+    endpoint: str,
+    max_bulk_docs: int = BULK_MAX_DOCS,
+    max_bulk_bytes: int = BULK_MAX_BYTES,
+    timeout_sec: float = 30.0,
+) -> None:
+    """POST bulk batches to ``{endpoint}/_bulk`` from the executors.
+
+    Flush policy mirrors ElasticIndexWriter.write:150-163: a batch
+    flushes when it reaches ``max_bulk_docs`` entries or
+    ``max_bulk_bytes`` payload bytes. A response with ``errors: true``
+    raises (commit():196-205 — task retry then surfaces the failure).
+    Transport is stdlib urllib so the sink has no dependency gate;
+    swapping in an ES client library touches only this function.
+    """
+
+    def _send(batch: list[bytes], url: str) -> None:
+        import json as _json
+        import urllib.request
+
+        body = b"".join(batch)
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+            payload = _json.loads(resp.read() or b"{}")
+        if payload.get("errors"):
+            raise RuntimeError(f"bulk items failed: {payload}")
+
+    url = endpoint.rstrip("/") + "/_bulk"
+
+    def _push(part):
+        batch: list[bytes] = []
+        n_docs = 0
+        n_bytes = 0
+        for row in part:
+            entry = (row["line"] + "\n").encode("utf-8")
+            batch.append(entry)
+            n_docs += 1
+            n_bytes += len(entry)
+            if n_docs >= max_bulk_docs or n_bytes >= max_bulk_bytes:
+                _send(batch, url)
+                batch, n_docs, n_bytes = [], 0, 0
+        if batch:
+            _send(batch, url)
+
+    lines.foreachPartition(_push)
