@@ -99,6 +99,17 @@ class CrawlConfig:
     # <= 0 disables the throttle.
     bandwidth_mbytes: int = 0
 
+    # --- JIT indexing (fetch/indexer/JITIndexer.java) ------------------
+    # fetch.index.just.in.time (TaskScheduler.java:204-206): index
+    # parsed pages inside the fetch round instead of a separate
+    # IndexJob pass
+    index_jit: bool = False
+    # indexer.minimal.text.length = 200 (JITIndexer.java:filter —
+    # drop docs whose text content is shorter)
+    index_min_text_length: int = 200
+    # _index name for the bulk sink
+    index_name: str = "nutch"
+
     # --- fetch mode (fetch/FetchMode.java NATIVE|PROXY|CROWDSOURCING) --
     # "native": the in-engine politeness fetch engine;
     # "crowd": publish leaseable tasks and ingest forwarded worker

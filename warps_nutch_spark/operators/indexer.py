@@ -163,3 +163,68 @@ def push_bulk_http(
             _send(batch, url)
 
     lines.foreachPartition(_push)
+
+
+def build_jit_documents(
+    parsed: DataFrame,
+    batch_id: str,
+    min_text_length: int = 200,
+    prev_state: DataFrame | None = None,
+) -> DataFrame:
+    """JIT indexing (``fetch/indexer/JITIndexer.java``): documents
+    built from the round's PARSED rows, inside the round, instead of a
+    later IndexJob pass over the frontier (TaskScheduler.java:799-804
+    produces an index task as soon as the parse mark lands).
+
+    Same projection as :func:`build_index_documents` so the two paths
+    are interchangeable downstream, with the JIT differences:
+
+    - input is the parse stage output (rows carry this batch's fetch +
+      parse columns), filtered to successful decodes;
+    - the anchors field reflects inlinks known AT FETCH TIME — the
+      round's own new inlinks land only in the later frontier state
+      (true of the reference too: the JIT doc is written before
+      updatedb);
+    - JITIndexer.filter drops docs whose text content is shorter than
+      ``indexer.minimal.text.length`` (default 200).
+    """
+    docs = parsed.filter(
+        (F.col("parsed_batch") == batch_id)
+        & F.col("decode_ok")
+        & (F.length(F.coalesce(F.col("caption"), F.lit(""))) >= min_text_length)
+    )
+    # fetch-time inlink/reprUrl state rides the fetchlist, not the
+    # parse artifact; absent -> empty anchors, null reprUrl
+    if prev_state is not None:
+        docs = docs.join(
+            prev_state.select("url_hash", "inlinks", "repr_url"),
+            on="url_hash",
+            how="left",
+        )
+    else:
+        docs = docs.withColumn(
+            "inlinks",
+            F.lit(None).cast("array<struct<url:string,anchor:string>>"),
+        ).withColumn("repr_url", F.lit(None).cast("string"))
+    return docs.select(
+        F.col("url_hash").alias("id"),
+        F.col("url"),
+        F.col("host"),
+        urls.domain_col(F.col("host")).alias("domain"),
+        F.col("caption").alias("content"),
+        F.col("image_id"),
+        F.col("phash"),
+        F.col("score").cast("double").alias("boost"),
+        (F.col("fetch_ts") / 1000).cast("timestamp").alias("tstamp"),
+        F.col("batch_id"),
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.coalesce(F.col("inlinks"), F.array()),
+                    lambda s: s.getField("anchor"),
+                ),
+                lambda a: a.isNotNull() & (a != ""),
+            )
+        ).alias("anchors"),
+        F.col("repr_url"),
+    )

@@ -353,6 +353,27 @@ class RoundDriver:
         stage_times["parse"] = time.time() - t_p
         parsed = self._read_stage(batch_id, "parse")
 
+        # -- JIT index (TaskScheduler.java:799-804 + JITIndexer.java):
+        # index documents leave the round as soon as parse lands,
+        # without waiting for updatedb or a separate IndexJob pass
+        if self.cfg.index_jit:
+            t_j = time.time()
+            if not self._done(batch_id, "jit_index"):
+                from ..operators import indexer as idx_op
+
+                docs = idx_op.build_jit_documents(
+                    parsed,
+                    batch_id,
+                    min_text_length=self.cfg.index_min_text_length,
+                    prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
+                )
+                idx_op.write_bulk_files(
+                    idx_op.to_bulk_ndjson(docs, index_name=self.cfg.index_name),
+                    os.path.join(self.workdir, "index", batch_id),
+                )
+                self._mark_done(batch_id, "jit_index")
+            stage_times["jit_index"] = time.time() - t_j
+
         # -- updatedb ----------------------------------------------------------
         t_u = time.time()
         if not self._done(batch_id, "updatedb"):
