@@ -136,3 +136,29 @@ def test_webtable_reader_analogs(spark):
     hosts = {r["host"]: r for r in readers.build_host_table(fr).collect()}
     assert hosts["h0.test"]["page_count"] == 3
     assert hosts["h1.test"]["avg_score"] == 3.0
+
+
+def test_index_lang_field(spark):
+    """language-identifier parity: docs gain a lang field from their
+    content via the trigram scorer."""
+    import pandas as pd
+
+    from warps_nutch_spark.operators.indexer import with_lang_field
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["a", "b", "c"],
+                "content": [
+                    "the quick brown fox and the lazy dog went to the market",
+                    "el perro y el gato estaban en la casa con los ninos",
+                    None,
+                ],
+            }
+        )
+    )
+    out = with_lang_field(docs).toPandas().set_index("id")
+    assert out.loc["a", "lang"] == "en"
+    assert out.loc["b", "lang"] == "es"
+    assert out.loc["c", "lang"] == "unknown"
+    assert set(out.columns) == {"content", "lang"}

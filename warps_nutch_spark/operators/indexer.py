@@ -228,3 +228,19 @@ def build_jit_documents(
         ).alias("anchors"),
         F.col("repr_url"),
     )
+
+
+def with_lang_field(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """language-identifier plugin (``plugin/language-identifier/.../
+    LanguageIndexingFilter.java``): attach a ``lang`` field to every
+    index document, identified from its text content. Uses the
+    char-trigram profile scorer (operators/langid.py — itself
+    oracle-checked by the ``langid`` driver query)."""
+    from .langid import langid_trigram
+
+    keyed = docs.withColumn("_lid", F.monotonically_increasing_id())
+    langs = langid_trigram(
+        keyed.select("_lid", F.coalesce(F.col(text_col), F.lit("")).alias("text")),
+        id_col="_lid",
+    ).select("_lid", F.col("lang_guess").alias("lang"))
+    return keyed.join(langs, on="_lid", how="left").drop("_lid")

@@ -1,0 +1,96 @@
+"""Content parse plugins: parse-metatags and microformats-reltag as
+pure Column expressions (JVM-side, codegen — no UDFs).
+
+Reference semantics:
+
+- ``plugin/parse-metatags/.../MetaTagsParser.java``: collect <meta>
+  general + http-equiv tags, lowercase the names, keep only those in
+  the configured ``metatags.names`` set ('*' keeps all), and join
+  multiple values of one name with '\\t' (:85-96).
+- ``plugin/microformats-reltag/.../RelTagParser.java``: every
+  ``<a href=... rel="tag">`` contributes the URL-decoded last path
+  segment of its href; tags are deduplicated and sorted (TreeSet,
+  :60-105).
+
+Both run entirely in the array domain per row (regexp_extract_all ->
+transform/filter), so a 100 TB parse pass adds zero shuffles — the
+extraction rides the existing per-row parse projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_META_TAG_RE = r"(?i)<meta\s[^>]*>"
+_A_TAG_RE = r"(?i)<a\s[^>]*>"
+
+
+def _attr(tag: Column, name: str) -> Column:
+    return F.regexp_extract(tag, f'(?i){name}\\s*=\\s*"([^"]*)"', 1)
+
+
+def metatags_col(html_col: Column, names: list[str] | None = None) -> Column:
+    """map<name, tab-joined values> of the page's meta tags.
+
+    ``names``: lowercase allowlist (MetaTagsParser ``metatags.names``);
+    None means '*' (keep everything). http-equiv tags are collected
+    under their http-equiv name, like the reference's second loop.
+    """
+    tags = F.regexp_extract_all(html_col, F.lit(_META_TAG_RE), 0)
+    # one (name, content) candidate per tag; name falls back to the
+    # http-equiv attribute when no name= is present
+    entries = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(
+                F.when(_attr(t, "name") != "", _attr(t, "name")).otherwise(
+                    _attr(t, "http-equiv")
+                )
+            ).alias("name"),
+            _attr(t, "content").alias("value"),
+        ),
+    )
+    entries = F.filter(entries, lambda e: e.getField("name") != "")
+    if names is not None:
+        allowed = F.array(*[F.lit(n.lower()) for n in names])
+        entries = F.filter(
+            entries, lambda e: F.array_contains(allowed, e.getField("name"))
+        )
+    uniq = F.array_sort(
+        F.array_distinct(F.transform(entries, lambda e: e.getField("name")))
+    )
+    return F.map_from_entries(
+        F.transform(
+            uniq,
+            lambda nm: F.struct(
+                nm.alias("key"),
+                F.array_join(
+                    F.transform(
+                        F.filter(entries, lambda e: e.getField("name") == nm),
+                        lambda e: e.getField("value"),
+                    ),
+                    "\t",
+                ).alias("value"),
+            ),
+        )
+    )
+
+
+def reltags_col(html_col: Column) -> Column:
+    """Sorted distinct rel=tag tags: URL-decoded last path segment of
+    each ``<a href rel="tag">`` href (RelTagParser.parseTag)."""
+    tags = F.regexp_extract_all(html_col, F.lit(_A_TAG_RE), 0)
+    rel = F.filter(tags, lambda t: F.lower(_attr(t, "rel")) == "tag")
+    hrefs = F.transform(rel, lambda t: _attr(t, "href"))
+    hrefs = F.filter(hrefs, lambda h: h != "")
+    segs = F.transform(
+        hrefs,
+        lambda h: F.coalesce(
+            F.try_url_decode(
+                F.element_at(F.split(F.split(h, "[?#]")[0], "/"), -1)
+            ),
+            F.element_at(F.split(F.split(h, "[?#]")[0], "/"), -1),
+        ),
+    )
+    return F.array_sort(F.array_distinct(F.filter(segs, lambda s: s != "")))

@@ -1469,6 +1469,110 @@ def _linkrank_sql(iters: int = _LR_ITERS) -> str:
 
 
 # ===========================================================================
+# X6 content parse plugins: parse-metatags + microformats-reltag over
+# synthetic HTML built identically in both engines (MetaTagsParser
+# name-allowlist + '\t' multi-value join; RelTagParser URL-decoded
+# last-path-segment tags, distinct + sorted). Output exploded to
+# scalar rows for the driver canon.
+# ===========================================================================
+_META_ALLOWED = ["author", "keywords", "refresh"]
+
+
+def _synth_html_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit('<html><head><meta name="Author" content="'),
+        F.col("source"),
+        F.lit('"><meta name="keywords" content="k'),
+        (d % 5).cast("string"),
+        F.lit('"><meta name="keywords" content="k'),
+        (d % 3).cast("string"),
+        F.lit('"><meta http-equiv="Refresh" content="'),
+        (d % 7).cast("string"),
+        F.lit('00"><meta name="skip" content="x"></head><body>'),
+        F.lit('<a href="http://t.test/tag/spark%20sql" rel="tag">x</a>'),
+        F.lit('<a rel="TAG" href="http://t.test/tag/t'),
+        (d % 4).cast("string"),
+        F.lit('?u=1">y</a><a href="http://t.test/other">z</a></body></html>'),
+    )
+
+
+def q_parse_metatags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_plugins import metatags_col, reltags_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_html_col().alias("html")
+    )
+    meta = docs.select(
+        "doc_id",
+        F.explode(metatags_col(F.col("html"), _META_ALLOWED)).alias("tag", "value"),
+    ).select("doc_id", F.lit("meta").alias("kind"), "tag", "value")
+    rel = docs.select(
+        "doc_id", F.explode(reltags_col(F.col("html"))).alias("tag")
+    ).select("doc_id", F.lit("reltag").alias("kind"), "tag", F.col("tag").alias("value"))
+    return meta.unionByName(rel)
+
+
+ORACLE_PARSE_METATAGS = """
+WITH base AS (
+  SELECT doc_id,
+    '<html><head><meta name="Author" content="' || source ||
+    '"><meta name="keywords" content="k' || CAST(doc_id % 5 AS VARCHAR) ||
+    '"><meta name="keywords" content="k' || CAST(doc_id % 3 AS VARCHAR) ||
+    '"><meta http-equiv="Refresh" content="' || CAST(doc_id % 7 AS VARCHAR) ||
+    '00"><meta name="skip" content="x"></head><body>' ||
+    '<a href="http://t.test/tag/spark%20sql" rel="tag">x</a>' ||
+    '<a rel="TAG" href="http://t.test/tag/t' || CAST(doc_id % 4 AS VARCHAR) ||
+    '?u=1">y</a><a href="http://t.test/other">z</a></body></html>' AS html
+  FROM documents
+),
+mtags AS (
+  SELECT doc_id, regexp_extract_all(html, '(?i)<meta\\s[^>]*>', 0) AS tags
+  FROM base
+),
+mrows AS (
+  SELECT doc_id, unnest(tags) AS t, generate_subscripts(tags, 1) AS i
+  FROM mtags
+),
+mnamed AS (
+  SELECT doc_id, i,
+    lower(CASE WHEN regexp_extract(t, '(?i)name\\s*=\\s*"([^"]*)"', 1) <> ''
+               THEN regexp_extract(t, '(?i)name\\s*=\\s*"([^"]*)"', 1)
+               ELSE regexp_extract(t, '(?i)http-equiv\\s*=\\s*"([^"]*)"', 1) END)
+      AS tag,
+    regexp_extract(t, '(?i)content\\s*=\\s*"([^"]*)"', 1) AS value
+  FROM mrows
+),
+meta AS (
+  SELECT doc_id, 'meta' AS kind, tag,
+         string_agg(value, chr(9) ORDER BY i) AS value
+  FROM mnamed
+  WHERE tag IN ('author', 'keywords', 'refresh')
+  GROUP BY doc_id, tag
+),
+atags AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*>', 0)) AS t
+  FROM base
+),
+rel AS (
+  SELECT DISTINCT doc_id,
+    replace(
+      regexp_extract(
+        regexp_replace(regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1),
+                       '[?#].*$', ''),
+        '([^/]*)$', 1),
+      '%20', ' ') AS tag
+  FROM atags
+  WHERE lower(regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1)) = 'tag'
+    AND regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1) <> ''
+)
+SELECT doc_id, kind, tag, value FROM meta
+UNION ALL
+SELECT doc_id, 'reltag' AS kind, tag, tag AS value FROM rel WHERE tag <> ''
+"""
+
+
+# ===========================================================================
 # X4 image near-dup: pHash Hamming pairs — banded bucket join over the
 # 64-bit perceptual hash (crawl/PhashSignature semantics; the real DCT
 # pHash over WNIM pixels is computed in operators/parse.py:92 and
@@ -1568,6 +1672,7 @@ EXT_QUERIES = {
     "phash_hamming_pairs": q_phash_hamming_pairs,
     "dedup_components": q_dedup_components,
     "linkrank_scores": q_linkrank_scores,
+    "parse_metatags": q_parse_metatags,
 }
 
 EXT_ORACLES = {
@@ -1601,4 +1706,5 @@ EXT_ORACLES = {
     "phash_hamming_pairs": ORACLE_PHASH_HAMMING_PAIRS,
     "dedup_components": _dedup_components_sql(),
     "linkrank_scores": _linkrank_sql(),
+    "parse_metatags": ORACLE_PARSE_METATAGS,
 }
