@@ -212,6 +212,46 @@ def main():
         forbid=("CartesianProduct",),
     )
 
+    # 9. round-3 additions: pHash banded pairs (never all-pairs),
+    # LinkRank iteration (broadcast count, hash agg per step), CC
+    # star-contraction step, metatags array-domain extraction (no
+    # shuffle at all: one scan, no Exchange)
+    from warps_nutch_spark.queries_ext import (
+        q_linkrank_scores,
+        q_parse_metatags,
+        q_phash_hamming_pairs,
+    )
+
+    audit(
+        "phash_hamming_pairs",
+        q_phash_hamming_pairs(spark, sf_dir),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    audit(
+        "linkrank_scores",
+        q_linkrank_scores(spark, sf_dir),
+        want=("HashAggregate",),
+        forbid=("CartesianProduct",),
+    )
+    from warps_nutch_spark.operators.cc import _large_star
+
+    cc_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["u", "v"]
+    )
+    audit(
+        "cc_large_star_step",
+        _large_star(cc_edges),
+        want=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    meta_plan = formatted(q_parse_metatags(spark, sf_dir))
+    sections.append(("parse_metatags", meta_plan))
+    # union of the two exploded branches scans twice but neither
+    # branch shuffles: Generate/Project only, no Exchange
+    checks.append(
+        ("parse_metatags", "no Exchange (pure array-domain)", "Exchange" not in meta_plan)
+    )
+
     out = ["# PLANS — physical-plan audit\n"]
     out.append("| plan | check | ok |\n|---|---|---|\n")
     for name, check, ok in checks:
