@@ -299,3 +299,62 @@ def allpairs_cosine(emb: DataFrame, threshold: float, id_col: str = "vec_id") ->
         F.col(f"b.{id_col}").alias("vec_b"),
         F.round(cos, 4).alias("cosine"),
     )
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched similarity JOIN: exact top-k per query over the probed
+    IVF clusters, for a whole DataFrame of queries (``query_id``,
+    ``qe``) at once — the realistic retrieval shape (a single query is
+    ivf_topk; a training-data pipeline scores millions).
+
+    Scale shape: the corpus is assigned once (ivf_assign; persisted,
+    it is a partition column); each query probes its ``n_probe``
+    nearest centroids via a broadcast of the (small) centroid table;
+    the candidate join keys on centroid_id, so the shuffle is
+    ~|Q| x corpus/n_centroids x n_probe candidate rows — never
+    |Q| x corpus. Per-query top-k is a rank window over candidates,
+    partitioned by query (no global sort).
+    """
+    from pyspark.sql import Window
+
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            "qe",
+            F.col("centroid_id"),
+            cosine_col(F.col("qe"), F.col("ce")).alias("pcos"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("pcos"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select(query_id_col, "qe", "centroid_id")
+    )
+    assign = ivf_assign(emb, centroids, id_col)
+    corpus = emb.join(assign, on=id_col)
+    cand = corpus.join(probe, on="centroid_id")
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_col(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+    )
+    topw = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(topw))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("_rn").cast("bigint").alias("rank"))
+    )

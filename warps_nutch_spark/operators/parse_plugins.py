@@ -94,3 +94,40 @@ def reltags_col(html_col: Column) -> Column:
         ),
     )
     return F.array_sort(F.array_distinct(F.filter(segs, lambda s: s != "")))
+
+
+def subcollections_col(
+    url_col: Column, collections: list[tuple[str, list[str], list[str]]]
+) -> Column:
+    """Sorted array of subcollection names whose white/blacklists match
+    the URL (``plugin/subcollection/.../Subcollection.java:144-162``:
+    plain substring match, blacklist wins; the indexing filter then
+    stamps the matching names on the document
+    (SubcollectionIndexingFilter)."""
+
+    def member(name: str, white: list[str], black: list[str]) -> Column:
+        in_white = None
+        for s in white:
+            c = F.instr(url_col, s) > 0
+            in_white = c if in_white is None else (in_white | c)
+        in_black = F.lit(False)
+        for s in black:
+            in_black = in_black | (F.instr(url_col, s) > 0)
+        cond = (in_white if in_white is not None else F.lit(False)) & ~in_black
+        return F.when(cond, F.lit(name))
+
+    names = F.array(*[member(n, w, b) for n, w, b in collections])
+    return F.array_sort(F.filter(names, lambda x: x.isNotNull()))
+
+
+def cc_license_col(html_col: Column) -> Column:
+    """First ``rel="license"`` anchor href — the Creative Commons
+    license URL (``plugin/creativecommons/.../CCParseFilter.java``
+    anchor walk; the RDF-comment variant is the same field with a
+    different carrier). NULL when the page declares no license."""
+    tags = F.regexp_extract_all(html_col, F.lit(_A_TAG_RE), 0)
+    lic = F.filter(tags, lambda t: F.lower(_attr(t, "rel")) == "license")
+    hrefs = F.filter(
+        F.transform(lic, lambda t: _attr(t, "href")), lambda h: h != ""
+    )
+    return F.get(hrefs, 0)  # NULL (not an ANSI error) when absent

@@ -1357,6 +1357,77 @@ LIMIT {_IVF_K}
 
 
 # ===========================================================================
+# Batched similarity JOIN: exact top-k per query over probed IVF
+# clusters for a whole query table at once (operators/ann.py
+# ivf_topk_batch — the retrieval shape a training pipeline runs at
+# millions of queries; shuffle ~ |Q| x corpus/n_centroids x n_probe).
+# ===========================================================================
+_SJ_K = 5
+_SJ_PROBE = 2
+
+
+def q_embedding_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id").between(1, _IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    queries = emb.filter((F.col("vec_id") % 61 == 0) & (F.col("vec_id") >= 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk_batch(corpus, cent, queries, k=_SJ_K, n_probe=_SJ_PROBE)
+
+
+ORACLE_EMBEDDING_SIM_JOIN = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_IVF_CENTROIDS}
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % 61 = 0 AND vec_id >= 16
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.ce AS DOUBLE[])) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM corpus e, cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                             CAST(c.ce AS DOUBLE[])) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM queries q, cent c
+  ) WHERE rn <= {_SJ_PROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 4) AS cosine
+  FROM probe p
+  JOIN assign a USING (centroid_id)
+  JOIN corpus e ON e.vec_id = a.vec_id
+  JOIN queries q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM cand
+) WHERE rn <= {_SJ_K}
+"""
+
+
+# ===========================================================================
 # Dedup cluster resolution: pairs -> connected components -> canonical
 # doc per cluster (transitive closure of pairwise signature matches;
 # the reference's per-key merge in crawl/DbUpdateReducer.java only sees
@@ -1573,6 +1644,54 @@ SELECT doc_id, 'reltag' AS kind, tag, tag AS value FROM rel WHERE tag <> ''
 
 
 # ===========================================================================
+# subcollection + creativecommons plugins: substring white/blacklist
+# collection membership (blacklist wins) and the rel="license" anchor.
+# ===========================================================================
+_SUBCOLLECTIONS = [
+    ("media", ["/media/"], ["/media/999"]),
+    ("detail", ["/detail/"], []),
+    ("alpha-sites", ["://a.test", "://b.test"], ["/search"]),
+]
+
+
+def q_subcollection_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_plugins import cc_license_col, subcollections_col
+
+    fr = derived_frontier(spark, sf_dir)
+    html = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(
+            F.lit('<html><body><a rel="license" href="http://creativecommons.org/licenses/by/4.0/">cc</a>'),
+            F.lit('<a rel="license" href="http://ignored.second/">x</a></body></html>'),
+        ),
+    ).otherwise(F.lit("<html><body><a href=\"http://x.test/\">plain</a></body></html>"))
+    return fr.select(
+        "doc_id",
+        F.array_join(
+            subcollections_col(F.col("url"), _SUBCOLLECTIONS), "|"
+        ).alias("collections"),
+        cc_license_col(html).alias("cc_license"),
+    )
+
+
+ORACLE_SUBCOLLECTION_CC = f"""
+WITH {FRONTIER_SQL}
+SELECT doc_id,
+  coalesce(array_to_string(list_sort(
+    [x FOR x IN [
+      CASE WHEN contains(url, '/media/') AND NOT contains(url, '/media/999')
+           THEN 'media' END,
+      CASE WHEN contains(url, '/detail/') THEN 'detail' END,
+      CASE WHEN (contains(url, '://a.test') OR contains(url, '://b.test'))
+                AND NOT contains(url, '/search') THEN 'alpha-sites' END
+    ] IF x IS NOT NULL]), '|'), '') AS collections,
+  CASE WHEN doc_id % 6 = 0
+       THEN 'http://creativecommons.org/licenses/by/4.0/' END AS cc_license
+FROM frontier
+"""
+
+
+# ===========================================================================
 # X4 image near-dup: pHash Hamming pairs — banded bucket join over the
 # 64-bit perceptual hash (crawl/PhashSignature semantics; the real DCT
 # pHash over WNIM pixels is computed in operators/parse.py:92 and
@@ -1673,6 +1792,8 @@ EXT_QUERIES = {
     "dedup_components": q_dedup_components,
     "linkrank_scores": q_linkrank_scores,
     "parse_metatags": q_parse_metatags,
+    "subcollection_cc": q_subcollection_cc,
+    "embedding_sim_join": q_embedding_sim_join,
 }
 
 EXT_ORACLES = {
@@ -1707,4 +1828,6 @@ EXT_ORACLES = {
     "dedup_components": _dedup_components_sql(),
     "linkrank_scores": _linkrank_sql(),
     "parse_metatags": ORACLE_PARSE_METATAGS,
+    "subcollection_cc": ORACLE_SUBCOLLECTION_CC,
+    "embedding_sim_join": ORACLE_EMBEDDING_SIM_JOIN,
 }
