@@ -1,0 +1,105 @@
+"""parse-metatags / reltag / subcollection / CC / parse-js / parse-zip."""
+
+import io
+import zipfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from warps_nutch_spark.operators.multimodal import zip_entries
+from warps_nutch_spark.operators.parse_plugins import (
+    cc_license_col,
+    js_outlinks_col,
+    metatags_col,
+    reltags_col,
+    subcollections_col,
+)
+
+HTML = (
+    '<html><head><meta name="Author" content="ann">'
+    '<meta name="keywords" content="k1"><meta name="keywords" content="k2">'
+    '<meta http-equiv="Refresh" content="300"><meta name="skip" content="x">'
+    '</head><body>'
+    '<a href="http://t.test/tag/spark%20sql" rel="tag">x</a>'
+    '<a rel="TAG" href="http://t.test/tag/t2?u=1">y</a>'
+    '<a rel="license" href="http://creativecommons.org/licenses/by/4.0/">cc</a>'
+    '<a href="http://t.test/other">z</a></body></html>'
+)
+
+
+def test_metatags_reltag_cc(spark):
+    df = spark.createDataFrame([(HTML,)], ["html"])
+    row = df.select(
+        metatags_col(F.col("html"), ["author", "keywords", "refresh"]).alias("m"),
+        reltags_col(F.col("html")).alias("r"),
+        cc_license_col(F.col("html")).alias("cc"),
+    ).collect()[0]
+    assert row["m"] == {"author": "ann", "keywords": "k1\tk2", "refresh": "300"}
+    assert row["r"] == ["spark sql", "t2"]
+    assert row["cc"] == "http://creativecommons.org/licenses/by/4.0/"
+    # wildcard mode keeps everything (metatags.names = '*')
+    all_m = df.select(metatags_col(F.col("html")).alias("m")).collect()[0]["m"]
+    assert "skip" in all_m
+
+
+def test_subcollection_blacklist_wins(spark):
+    # mirrors the reference's own TestSubcollection fixture
+    cols = [("nutch", ["www.nutch.org", "www.apache.org"], ["jpg", "www.apache.org/zecret/"])]
+    df = spark.createDataFrame(
+        [
+            ("http://www.apache.org/index.html",),
+            ("http://www.apache.org/zecret/index.html",),
+            ("http://www.apache.org/img/image.jpg",),
+            ("http://www.google.com/",),
+        ],
+        ["url"],
+    )
+    got = [
+        r["c"]
+        for r in df.select(subcollections_col(F.col("url"), cols).alias("c")).collect()
+    ]
+    assert got == [["nutch"], [], [], []]
+
+
+def test_js_outlinks_resolution(spark):
+    js = (
+        'var a = "/detail/7"; var b = \'www.ext.test/page.html\'; '
+        'var c = "http://abs.test/x.php?a=1&amp;b=2"; '
+        'var s = "not a link"; var u = "img.png"; var n = "plain";'
+    )
+    df = spark.createDataFrame([(js, "http://h.test/dir/page.html")], ["js", "base"])
+    got = df.select(
+        js_outlinks_col(F.col("js"), F.col("base")).alias("o")
+    ).collect()[0]["o"]
+    assert got == sorted(
+        [
+            "http://h.test/detail/7",
+            "http://www.ext.test/page.html",
+            "http://abs.test/x.php?a=1&b=2",
+            "http://h.test/dir/img.png",
+        ]
+    )
+
+
+def _zip_blob(files):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in files.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_zip_entries_explode_and_corrupt(spark):
+    good = _zip_blob({"a.txt": b"alpha", "sub/b.html": b"<html>b</html>"})
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url_hash": ["z1", "z2"], "bytes": [good, b"not a zip at all"]}
+        )
+    )
+    out = zip_entries(df).toPandas()
+    ok = out[out["zip_ok"]].set_index("entry_name")
+    assert bytes(ok.loc["a.txt", "entry_bytes"]) == b"alpha"
+    assert ok.loc["sub/b.html", "entry_size"] == len(b"<html>b</html>")
+    assert set(ok["url_hash"]) == {"z1"}
+    bad = out[~out["zip_ok"]]
+    assert list(bad["url_hash"]) == ["z2"]

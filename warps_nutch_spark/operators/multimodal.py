@@ -334,3 +334,70 @@ def frame_sample_video(df: DataFrame, every_n: int = 30, bytes_col: str = "bytes
         )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+ZIP_ENTRY_SCHEMA_FIELDS = [
+    T.StructField("entry_name", T.StringType()),
+    T.StructField("entry_size", T.LongType()),
+    T.StructField("entry_bytes", T.BinaryType()),
+    T.StructField("zip_ok", T.BooleanType()),
+]
+
+
+def zip_entries(
+    df, bytes_col: str = "bytes", id_col: str = "url_hash", max_entry_bytes: int = 1 << 20
+):
+    """Explode zip archives into one row per member file
+    (``plugin/parse-zip/.../ZipTextExtractor.java:73-110``: iterate
+    entries, skip directories, dispatch each member's bytes to its own
+    parser — here the member bytes come back as a BinaryType column
+    for the regular parse dispatch). A corrupt archive yields a single
+    ``zip_ok=false`` row instead of failing the stage.
+
+    mapInPandas + stdlib zipfile: per-row Python is legitimate here
+    (binary decode), and the blob never round-trips through more than
+    its own batch.
+    """
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.StringType())] + ZIP_ENTRY_SCHEMA_FIELDS
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            data = zf.read(info.filename)[:max_entry_bytes]
+                            rows.append(
+                                {
+                                    id_col: rid,
+                                    "entry_name": info.filename,
+                                    "entry_size": int(info.file_size),
+                                    "entry_bytes": data,
+                                    "zip_ok": True,
+                                }
+                            )
+                except Exception:
+                    rows.append(
+                        {
+                            id_col: rid,
+                            "entry_name": None,
+                            "entry_size": None,
+                            "entry_bytes": None,
+                            "zip_ok": False,
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=[id_col] + [f.name for f in ZIP_ENTRY_SCHEMA_FIELDS])
+            out["entry_size"] = out["entry_size"].astype("Int64")
+            yield out
+
+    return df.select(id_col, bytes_col).mapInPandas(_batches, out_schema)

@@ -131,3 +131,42 @@ def cc_license_col(html_col: Column) -> Column:
         F.transform(lic, lambda t: _attr(t, "href")), lambda h: h != ""
     )
     return F.get(hrefs, 0)  # NULL (not an ANSI error) when absent
+
+
+# reference JSParseFilter.java:205-207 two-pass scheme: quoted-string
+# scan, then a URI-shape gate on each candidate
+_JS_DQ_RE = r'"([^\s"]+?)"'
+_JS_SQ_RE = r"'([^\s']+?)'"
+_JS_URI_GATE = r"^/?[^\s]+[/.][^\s]*$"
+
+
+def js_outlinks_col(js_col: Column, base_url_col: Column) -> Column:
+    """Distinct outlink candidates from JavaScript text
+    (``plugin/parse-js/.../JSParseFilter.java:219-280``): every quoted
+    string that looks URI-shaped, resolved against the base URL —
+    ``www.`` hosts get ``http://``, absolute URLs pass through,
+    ``/path`` joins the base origin, bare relatives join the base
+    directory; ``&amp;`` unescapes. Dot-segment resolution is left to
+    the downstream canonicalizer (F1-F3), same as the fetch path.
+
+    DuckDB-twin note: the reference's single backreferenced pattern
+    ``("|')...\\1`` is RE2-incompatible, so both engines run the
+    double- and single-quote scans separately; output is DISTINCT so
+    pass order cannot matter.
+    """
+    cands = F.concat(
+        F.regexp_extract_all(js_col, F.lit(_JS_DQ_RE), 1),
+        F.regexp_extract_all(js_col, F.lit(_JS_SQ_RE), 1),
+    )
+    cands = F.filter(cands, lambda s: s.rlike(_JS_URI_GATE))
+    cands = F.transform(cands, lambda s: F.replace(s, F.lit("&amp;"), F.lit("&")))
+    origin = F.regexp_extract(base_url_col, r"^(https?://[^/]+)", 1)
+    basedir = F.regexp_replace(base_url_col, r"[^/]*$", "")
+    resolved = F.transform(
+        cands,
+        lambda s: F.when(s.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), s)
+        .when(s.startswith("www."), F.concat(F.lit("http://"), s))
+        .when(s.startswith("/"), F.concat(origin, s))
+        .otherwise(F.concat(basedir, s)),
+    )
+    return F.array_sort(F.array_distinct(resolved))

@@ -1357,6 +1357,64 @@ LIMIT {_IVF_K}
 
 
 # ===========================================================================
+# parse-js: outlink candidates from JavaScript (JSParseFilter's
+# quoted-string scan + URI-shape gate + base resolution), exploded to
+# scalar rows. The corpus embeds absolute/entity-escaped, www.-bare,
+# root-relative, dir-relative, and non-URI strings.
+# ===========================================================================
+def q_js_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_plugins import js_outlinks_col
+
+    fr = derived_frontier(spark, sf_dir)
+    d = F.col("doc_id")
+    js = F.concat(
+        F.lit('var a = "/detail/'),
+        (d % 9).cast("string"),
+        F.lit("\"; var b = 'www.ext"),
+        (d % 3).cast("string"),
+        F.lit(".test/page.html'; "),
+        F.lit('var c = "http://abs.test/x.php?a=1&amp;b=2"; '),
+        F.lit('var s = "not a link"; var t = \'skip me\'; var u = "img.png";'),
+    )
+    return fr.select(
+        "doc_id", F.explode(js_outlinks_col(js, F.col("url"))).alias("outlink")
+    ).distinct()
+
+
+ORACLE_JS_OUTLINKS = f"""
+WITH {FRONTIER_SQL},
+base AS (
+  SELECT doc_id, url,
+    'var a = "/detail/' || CAST(doc_id % 9 AS VARCHAR) ||
+    '"; var b = ''www.ext' || CAST(doc_id % 3 AS VARCHAR) ||
+    '.test/page.html''; var c = "http://abs.test/x.php?a=1&amp;b=2"; ' ||
+    'var s = "not a link"; var t = ''skip me''; var u = "img.png";' AS js
+  FROM frontier
+),
+cand AS (
+  SELECT doc_id, url, unnest(
+    list_concat(regexp_extract_all(js, '"([^\\s"]+?)"', 1),
+                regexp_extract_all(js, '''([^\\s'']+?)''', 1))) AS s
+  FROM base
+),
+gated AS (
+  SELECT doc_id, url, replace(s, '&amp;', '&') AS s
+  FROM cand
+  WHERE regexp_matches(s, '^/?[^\\s]+[/.][^\\s]*$')
+)
+SELECT DISTINCT doc_id,
+  CASE
+    WHEN regexp_matches(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN s
+    WHEN starts_with(s, 'www.') THEN 'http://' || s
+    WHEN starts_with(s, '/')
+      THEN regexp_extract(url, '^(https?://[^/]+)', 1) || s
+    ELSE regexp_replace(url, '[^/]*$', '') || s
+  END AS outlink
+FROM gated
+"""
+
+
+# ===========================================================================
 # Batched similarity JOIN: exact top-k per query over probed IVF
 # clusters for a whole query table at once (operators/ann.py
 # ivf_topk_batch — the retrieval shape a training pipeline runs at
@@ -1794,6 +1852,7 @@ EXT_QUERIES = {
     "parse_metatags": q_parse_metatags,
     "subcollection_cc": q_subcollection_cc,
     "embedding_sim_join": q_embedding_sim_join,
+    "js_outlinks": q_js_outlinks,
 }
 
 EXT_ORACLES = {
@@ -1830,4 +1889,5 @@ EXT_ORACLES = {
     "parse_metatags": ORACLE_PARSE_METATAGS,
     "subcollection_cc": ORACLE_SUBCOLLECTION_CC,
     "embedding_sim_join": ORACLE_EMBEDDING_SIM_JOIN,
+    "js_outlinks": ORACLE_JS_OUTLINKS,
 }
