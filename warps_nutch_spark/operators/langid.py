@@ -60,9 +60,59 @@ def langid_trigram(
 ) -> DataFrame:
     """(id, lang_guess, trigram_hits): best-matching language by
     profile-trigram hit count; 'unknown' (0 hits) when nothing matches.
-    Ties break on lang asc so both engines agree."""
-    if profiles is None:
-        profiles = lang_profiles_df(docs.sparkSession)
+    Ties break on lang asc so both engines agree.
+
+    Implementation is entirely in the row's array domain: one trigram
+    array build, one aggregate() fold counting all profiles in a
+    single pass — no Generate of O(chars) rows, no join, no shuffle
+    (the r2 explode+broadcast-join form shuffled hit rows and was the
+    suite's slowest non-crawl query at 6.2 s / sf0.1; this form is a
+    pure projection). ``profiles`` is accepted for the pytest that
+    swaps profile tables; when given, falls back to the relational
+    form."""
+    if profiles is not None:
+        return _langid_trigram_join(docs, profiles, text_col, id_col)
+    langs = sorted(LANG_TRIGRAMS)
+    low = F.lower(F.col(text_col))
+    tgs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
+        lambda i: low.substr(i, F.lit(3)),
+    )
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"c_{l}") for l in langs])
+    profile_arrs = {
+        l: F.array(*[F.lit(t) for t in LANG_TRIGRAMS[l]]) for l in langs
+    }
+    counts = F.aggregate(
+        tgs,
+        zero,
+        lambda acc, t: F.struct(
+            *[
+                (
+                    acc.getField(f"c_{l}")
+                    + F.array_contains(profile_arrs[l], t).cast("long")
+                ).alias(f"c_{l}")
+                for l in langs
+            ]
+        ),
+    )
+    out = docs.select(F.col(id_col), counts.alias("_c"))
+    cs = [F.col(f"_c.c_{l}") for l in langs]
+    m = F.greatest(*cs)
+    guess = F.when(m == 0, F.lit("unknown"))
+    for l in langs:  # asc-lang tie-break: first match wins
+        guess = guess.when(F.col(f"_c.c_{l}") == m, F.lit(l))
+    return out.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        m.cast("bigint").alias("trigram_hits"),
+    )
+
+
+def _langid_trigram_join(
+    docs: DataFrame, profiles: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Relational form (explode + broadcast profile join) for
+    caller-supplied profile tables."""
     low = F.lower(F.col(text_col))
     tgs = docs.select(
         F.col(id_col),
