@@ -170,3 +170,31 @@ def js_outlinks_col(js_col: Column, base_url_col: Column) -> Column:
         .otherwise(F.concat(basedir, s)),
     )
     return F.array_sort(F.array_distinct(resolved))
+
+
+# feed plugin (plugin/feed/.../FeedParser.java:124-140,217-260): one
+# sub-parse per feed entry keyed by the entry link, with title and
+# tag-stripped description text
+_RSS_ITEM_RE = r"(?is)<item>.*?</item>"
+
+
+def feed_items_col(xml_col: Column) -> Column:
+    """array<struct<link,title,description>> of a feed's items.
+    Per-item fields come from the standard RSS child tags; description
+    text is tag-stripped like the reference's stripTags. Runs entirely
+    in the array domain (regexp_extract_all + transform)."""
+    items = F.regexp_extract_all(xml_col, F.lit(_RSS_ITEM_RE), 0)
+
+    def field(item: Column, tag: str) -> Column:
+        return F.regexp_extract(item, f"(?is)<{tag}>(.*?)</{tag}>", 1)
+
+    return F.transform(
+        items,
+        lambda it: F.struct(
+            field(it, "link").alias("link"),
+            field(it, "title").alias("title"),
+            F.trim(
+                F.regexp_replace(field(it, "description"), r"<[^>]*>", "")
+            ).alias("description"),
+        ),
+    )

@@ -1415,6 +1415,60 @@ FROM gated
 
 
 # ===========================================================================
+# feed plugin: RSS items -> one row per entry (link/title/stripped
+# description), synthetic feed built identically in both engines.
+# ===========================================================================
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_plugins import feed_items_col
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<rss><channel><title>ch</title><item><link>http://f.test/item/"),
+        d,
+        F.lit("a</link><title>Item A "),
+        d,
+        F.lit("</title><description>plain <b>bold</b> text</description></item>"),
+        F.lit("<item><link>http://f.test/item/"),
+        d,
+        F.lit("b</link><title>Item B</title><description> padded </description>"),
+        F.lit("</item></channel></rss>"),
+    )
+    items = docs.select("doc_id", F.explode(feed_items_col(xml)).alias("it"))
+    return items.select(
+        "doc_id",
+        F.col("it.link").alias("link"),
+        F.col("it.title").alias("title"),
+        F.col("it.description").alias("description"),
+    )
+
+
+ORACLE_FEED_ITEMS = """
+WITH base AS (
+  SELECT doc_id,
+    '<rss><channel><title>ch</title><item><link>http://f.test/item/' ||
+    CAST(doc_id AS VARCHAR) || 'a</link><title>Item A ' ||
+    CAST(doc_id AS VARCHAR) ||
+    '</title><description>plain <b>bold</b> text</description></item>' ||
+    '<item><link>http://f.test/item/' || CAST(doc_id AS VARCHAR) ||
+    'b</link><title>Item B</title><description> padded </description>' ||
+    '</item></channel></rss>' AS xml
+  FROM documents
+),
+items AS (
+  SELECT doc_id, unnest(regexp_extract_all(xml, '(?is)<item>.*?</item>', 0)) AS it
+  FROM base
+)
+SELECT doc_id,
+  regexp_extract(it, '(?is)<link>(.*?)</link>', 1) AS link,
+  regexp_extract(it, '(?is)<title>(.*?)</title>', 1) AS title,
+  trim(regexp_replace(regexp_extract(it, '(?is)<description>(.*?)</description>', 1),
+                      '<[^>]*>', '', 'g')) AS description
+FROM items
+"""
+
+
+# ===========================================================================
 # Batched similarity JOIN: exact top-k per query over probed IVF
 # clusters for a whole query table at once (operators/ann.py
 # ivf_topk_batch — the retrieval shape a training pipeline runs at
@@ -1853,6 +1907,7 @@ EXT_QUERIES = {
     "subcollection_cc": q_subcollection_cc,
     "embedding_sim_join": q_embedding_sim_join,
     "js_outlinks": q_js_outlinks,
+    "feed_items": q_feed_items,
 }
 
 EXT_ORACLES = {
@@ -1890,4 +1945,5 @@ EXT_ORACLES = {
     "subcollection_cc": ORACLE_SUBCOLLECTION_CC,
     "embedding_sim_join": ORACLE_EMBEDDING_SIM_JOIN,
     "js_outlinks": ORACLE_JS_OUTLINKS,
+    "feed_items": ORACLE_FEED_ITEMS,
 }
