@@ -159,3 +159,18 @@ def test_delete_actions(spark):
     lines = deletes_bulk_ndjson(keys, index_name="pages").collect()
     acts = [json.loads(r["line"]) for r in lines]
     assert {a["delete"]["_id"] for a in acts} == {"a", "b"}
+
+
+def test_solr_json_lines_and_push(spark, bulk_server):
+    from warps_nutch_spark.operators.indexer import to_solr_json
+
+    docs = _docs_df(spark, 7)
+    lines = to_solr_json(docs)
+    for row in lines.collect():
+        d = json.loads(row["line"])
+        assert d["id"].startswith("sha-") and "url" in d
+    # same transport, Solr-shaped endpoint path
+    push_bulk_http(lines, bulk_server, max_bulk_docs=4)
+    got = [json.loads(l) for _, body, _ in _BulkCollector.requests
+           for l in body.decode().splitlines() if l and "index" not in json.loads(l)]
+    assert {d["id"] for d in got if "id" in d} >= {f"sha-{i:03d}" for i in range(7)}

@@ -244,3 +244,16 @@ def with_lang_field(docs: DataFrame, text_col: str = "content") -> DataFrame:
         id_col="_lid",
     ).select("_lid", F.col("lang_guess").alias("lang"))
     return keyed.join(langs, on="_lid", how="left").drop("_lid")
+
+
+def to_solr_json(docs: DataFrame, id_col: str = "id") -> DataFrame:
+    """One ``line`` per document in Solr's JSON update format (the
+    public ``/update/json/docs`` protocol — one JSON doc per line;
+    ``plugin/indexer-solr/.../SolrIndexWriter.java`` buffers
+    SolrInputDocuments the same way the elastic writer buffers bulk
+    entries). The same ``push_bulk_http`` transport posts these with
+    the endpoint set to the Solr update handler."""
+    _ = id_col  # Solr takes the uniqueKey from the doc body
+    return docs.select(
+        F.to_json(F.struct(*[F.col(c) for c in docs.columns])).alias("line")
+    )
