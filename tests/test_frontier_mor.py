@@ -198,3 +198,30 @@ def test_mor_delete_with_host_colocates_tombstone(spark, tmp_path):
     tomb = spark.read.parquet(os.path.join(str(tmp_path), "fr", "v000001", "data"))
     tb = tomb.filter(F.col("_tombstone")).collect()
     assert len(tb) == 1 and tb[0]["host_bucket"] == victim_bucket
+
+
+def test_round_updatedb_uses_linked_merge(spark, tmp_path):
+    """The round's delta snapshot must be hard-linked from the stage
+    artifact (one write of the round's updates, not two) — guard
+    against silent fallback to the shuffling merge."""
+    from warps_nutch_spark.config import make_test_config
+    from warps_nutch_spark.plans.round import RoundDriver
+    from warps_nutch_spark.simweb import SimWeb
+
+    wd = str(tmp_path / "crawl")
+    web_params = (4, 30, 3)
+    cfg = make_test_config(top_n=100, max_per_host=30, round_time_limit_ms=600_000)
+    drv = RoundDriver(spark, wd, cfg, web_params)
+    web = SimWeb(*web_params)
+    drv.inject(spark.createDataFrame([(u,) for u in web.seeds(2)], ["value"]))
+    drv.run_round(0)
+    chain = drv.store.lineage_chain()
+    upd = [ln for ln in chain if ln.get("op") == "updatedb"]
+    assert upd, "no updatedb merge committed"
+    assert all("linked_from" in ln for ln in upd), (
+        "updatedb merge fell back to the shuffling path: "
+        + str([{k: ln.get(k) for k in ('op', 'kind', 'linked_from')} for ln in upd])
+    )
+    # and the linked snapshot reads back consistently
+    fr = drv.store.read()
+    assert fr.count() == fr.select("url_hash").distinct().count()

@@ -422,10 +422,23 @@ class RoundDriver:
                 merge_rows = merge_rows.unionByName(
                     dropped_rest.select(*merge_rows.columns)
                 )
+                # pre-bucket so the resume artifact doubles as the
+                # store's delta snapshot (merge_linked below): the
+                # round's updates hit disk ONCE, not twice
+                merge_rows = self.store.with_bucket(merge_rows.drop("host_bucket"))
                 with python_stage_parallelism(self.spark):
                     merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
             if ("updatedb", batch_id) not in self.store.committed_ops():
-                self.store.merge(merge_rows, {"op": "updatedb", "batch_id": batch_id})
+                lineage = {"op": "updatedb", "batch_id": batch_id}
+                try:
+                    self.store.merge_linked(
+                        os.path.join(self._stage_dir(batch_id, "updatedb"), "data"),
+                        lineage,
+                    )
+                except ValueError:
+                    # artifact from an older layout (no host_bucket):
+                    # fall back to the shuffling merge
+                    self.store.merge(merge_rows, lineage)
             # Bloom OR is idempotent: re-merging the same keys is a no-op
             self.urlseen.merge_round(
                 merge_rows.select("url_hash"), "url_hash", batch_id
