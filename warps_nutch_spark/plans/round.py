@@ -341,9 +341,18 @@ class RoundDriver:
                 parsed = self._read_stage(batch_id, "parse")  # resume: reuse
             else:
                 parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
+                # the payload bytes already persist in the fetch
+                # artifact — don't write them a second time here (the
+                # payload projection below re-joins them by key)
                 with python_stage_parallelism(self.spark):
-                    parsed = self._write_stage(parsed, batch_id, "parse")
-            payloads = parse_op.payload_rows(parsed)
+                    parsed = self._write_stage(
+                        parsed.drop("bytes"), batch_id, "parse"
+                    )
+            payloads = parse_op.payload_rows(
+                parsed.join(
+                    fetch_results.select("url_hash", "bytes"), on="url_hash"
+                )
+            )
             # batch-keyed overwrite (not append): a resumed parse stage
             # rewrites its own payload slice, never duplicates it
             payloads.write.mode("overwrite").parquet(
