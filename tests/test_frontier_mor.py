@@ -225,3 +225,40 @@ def test_round_updatedb_uses_linked_merge(spark, tmp_path):
     # and the linked snapshot reads back consistently
     fr = drv.store.read()
     assert fr.count() == fr.select("url_hash").distinct().count()
+
+
+def test_incremental_compaction_links_untouched_buckets(spark, tmp_path):
+    """Compaction rewrites only delta-touched buckets; untouched bucket
+    partitions are hard-linked from the old base, and the view is
+    unchanged."""
+    import os
+
+    st = _store(spark, tmp_path, compact_ratio=100.0)
+    rows = [(f"u{i}", (i % 6) + 1, float(i)) for i in range(24)]
+    st.init(_rows(spark, rows))
+    before = {r["url_hash"]: r["score"] for r in st.read().collect()}
+    # touch only host1's rows (one bucket, typically)
+    st.merge(_rows(spark, [("u0", 1, 100.0), ("u6", 1, 106.0)]))
+    before["u0"], before["u6"] = 100.0, 106.0
+    v = st.compact()
+    ln = st.lineage(v)
+    assert ln["kind"] == "base"
+    assert 0 < ln["compacted_buckets"] < st.host_buckets
+    # linked dirs exist for untouched buckets (hard links share inode)
+    out = st._data_dir(v)
+    bucket_dirs = [d for d in os.listdir(out) if d.startswith("host_bucket=")]
+    assert len(bucket_dirs) >= ln["compacted_buckets"]
+    after = {r["url_hash"]: r["score"] for r in st.read().collect()}
+    assert after == before
+
+
+def test_incremental_compaction_stray_tombstone_falls_back(spark, tmp_path):
+    """A host-less tombstone (bucketed by url_hash, maybe away from its
+    victim) must force the full rewrite, never resurrect the key."""
+    st = _store(spark, tmp_path, compact_ratio=100.0)
+    st.init(_rows(spark, [(f"u{i}", (i % 6) + 1, float(i)) for i in range(12)]))
+    st.delete(spark.createDataFrame([("u3",)], ["url_hash"]))
+    v = st.compact()
+    assert "compacted_buckets" not in st.lineage(v)  # full rewrite path
+    got = {r["url_hash"] for r in st.read().collect()}
+    assert "u3" not in got and len(got) == 11
