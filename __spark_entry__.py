@@ -2,11 +2,14 @@
 
 ``entry`` runs the flagship Generator top-N selection over the derived
 frontier at sf0.001; ``queries``/``oracle_sql`` expose one entry per
-implemented operator family from SURVEY.md §2 (crawl semantics over a
-deterministically derived frontier + the training-data pipeline ops
-over documents/embeddings). A ``crawl_round`` entry runs a real
-SimWeb crawl round end-to-end (politeness applyInPandas engine — not
-SQL-expressible, rows-only check).
+implemented operator family from SURVEY.md §2 + §2.10 (crawl semantics
+over a deterministically derived frontier, the training-data pipeline
+ops over documents/embeddings, and the round-3 plugin surfaces:
+pHash pairs, dedup components, linkrank, parse-metatags/js/feed,
+subcollection/CC, politeness timing, similarity join, repetition
+filters). A ``crawl_round`` entry runs a real SimWeb crawl round
+end-to-end (politeness applyInPandas engine — not SQL-expressible,
+rows-only check).
 """
 
 from __future__ import annotations
