@@ -565,6 +565,97 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher, Rae et al. 2021
+    §A1.1: documents dominated by repeated n-grams/lines are filtered
+    before training): duplicate word-2gram fraction, most-frequent-
+    2gram mass, duplicate sentence fraction. The top-2gram count is
+    explode + groupBy (shuffle proportional to grams — the scalable
+    shape); the duplicate fractions stay in the array domain."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    sents = F.split("text", r"\. ")
+    base = docs.select(
+        "doc_id",
+        grams.alias("g"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(sents)).cast("double")
+            / F.greatest(F.size(sents), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.greatest(F.size(grams), F.lit(1)),
+            6,
+        ).alias("dup_2gram_frac"),
+        F.lit(None).alias("_pad"),
+    ).drop("_pad")
+    top = (
+        base.select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_grams"),
+        )
+    )
+    return (
+        base.drop("g")
+        .join(top, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "dup_2gram_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_c").cast("double") / F.col("n_grams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_2gram_frac"),
+            "dup_line_frac",
+        )
+    )
+
+
+ORACLE_GOPHER_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         string_split(text, '. ') AS sents
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i] || ' ' || t[i + 1]) AS g,
+    round(1.0 - CAST(len(list_distinct(sents)) AS DOUBLE)
+          / greatest(len(sents), 1), 6) AS dup_line_frac
+  FROM toks
+),
+dup AS (
+  SELECT doc_id,
+    round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+          / greatest(len(g), 1), 6) AS dup_2gram_frac,
+    dup_line_frac, g
+  FROM base
+),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM dup),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM cnt GROUP BY 1
+)
+SELECT d.doc_id, d.dup_2gram_frac,
+  round(coalesce(CAST(t.top_c AS DOUBLE) / t.n_grams, 0.0), 6) AS top_2gram_frac,
+  d.dup_line_frac
+FROM dup d LEFT JOIN top t USING (doc_id)
+"""
+
+
 ORACLE_TEXT_QUALITY = """
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -917,6 +1008,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_quality": q_text_quality,
+    "gopher_repetition": q_gopher_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "langid": q_langid,
     "embedding_topk": q_embedding_topk,
@@ -944,6 +1036,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "text_quality": ORACLE_TEXT_QUALITY,
+    "gopher_repetition": ORACLE_GOPHER_REPETITION,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "langid": ORACLE_LANGID,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,

@@ -1540,6 +1540,77 @@ SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
 
 
 # ===========================================================================
+# Image near-dup dedup END-TO-END: pHash -> banded Hamming pairs ->
+# connected components -> canonical image per cluster. Composition of
+# E8 + E9 — the complete image-dedup pipeline a training corpus runs.
+# ===========================================================================
+def q_image_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cc import connected_components
+    from .operators.dedup import hamming_pairs_int64
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(F.col("doc_id").alias("image_id"), _phash_col().alias("phash"))
+    pairs = hamming_pairs_int64(
+        sigs, sig_col="phash", id_col="image_id", n_bands=4, max_hamming=6
+    )
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    return (
+        sigs.select("image_id")
+        .join(comp.withColumnRenamed("node", "image_id"), on="image_id", how="left")
+        .select(
+            "image_id",
+            F.coalesce("component", "image_id").alias("canonical_id"),
+            (F.coalesce("component", "image_id") == F.col("image_id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def _image_dedup_components_sql() -> str:
+    # reuse the pHash pair CTE body (ORACLE_PHASH_HAMMING_PAIRS without
+    # its SELECT) + recursive closure
+    return """
+WITH RECURSIVE ph AS (
+  SELECT doc_id AS image_id,
+    xor(
+      CAST(CONCAT('0x', substr(md5('ph' || CAST(
+        CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS VARCHAR)), 1, 15)) AS BIGINT),
+      CASE WHEN doc_id % 50 = 1
+           THEN xor(CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT),
+                    CAST(1 AS BIGINT) << CAST((doc_id * 7 + 3) % 60 AS INT))
+           ELSE CAST(0 AS BIGINT) END
+    ) AS phash
+  FROM documents
+),
+bands AS (
+  SELECT image_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
+  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT p.image_id,
+  coalesce(c.component, p.image_id) AS canonical_id,
+  coalesce(c.component, p.image_id) = p.image_id AS keep
+FROM ph p LEFT JOIN comp c ON p.image_id = c.node
+"""
+
+
+# ===========================================================================
 # Dedup cluster resolution: pairs -> connected components -> canonical
 # doc per cluster (transitive closure of pairwise signature matches;
 # the reference's per-key merge in crawl/DbUpdateReducer.java only sees
@@ -1908,6 +1979,7 @@ EXT_QUERIES = {
     "embedding_sim_join": q_embedding_sim_join,
     "js_outlinks": q_js_outlinks,
     "feed_items": q_feed_items,
+    "image_dedup_components": q_image_dedup_components,
 }
 
 EXT_ORACLES = {
@@ -1946,4 +2018,5 @@ EXT_ORACLES = {
     "embedding_sim_join": ORACLE_EMBEDDING_SIM_JOIN,
     "js_outlinks": ORACLE_JS_OUTLINKS,
     "feed_items": ORACLE_FEED_ITEMS,
+    "image_dedup_components": _image_dedup_components_sql(),
 }
