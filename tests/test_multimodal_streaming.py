@@ -59,12 +59,12 @@ def test_resize_images(spark):
         assert cap == f"cap {row['image_id'].split('-')[1]}"
 
 
-def test_frame_sample_video_is_contract_stub(spark):
+def test_frame_sample_video_skips_foreign_containers(spark):
+    # a WNIM image is not a WNVM video: no rows, no stage failure
     df = _payload_df(spark, 1)
     out = mm.frame_sample_video(df)
     assert "frame_idx" in out.columns and "frame_bytes" in out.columns
-    with pytest.raises(Exception, match="video decoding unavailable|NotImplementedError"):
-        out.collect()
+    assert out.count() == 0
 
 
 def test_streaming_ingest_dedup_and_merge(spark, workdir):
@@ -245,3 +245,55 @@ def test_audio_chunks_drop_source_blob(spark):
     out = chunk_audio(df, chunk_sec=1.0)
     assert "bytes" not in out.columns and "chunk_bytes" in out.columns
     assert out.count() == 3
+
+
+def _video_df(spark):
+    vids = []
+    for v in range(2):
+        frames = []
+        base = codec.synth_pixels(v * 7, 24, 20)
+        for i in range(10):
+            px = base.copy()
+            px[:2, :2] = np.clip(px[:2, :2].astype(int) + i, 0, 255).astype(px.dtype)
+            frames.append(px)
+        vids.append({"video_id": f"v{v}", "bytes": codec.encode_video(frames, fps=10)})
+    vids.append({"video_id": "junk", "bytes": b"not a video"})
+    return spark.createDataFrame(pd.DataFrame(vids))
+
+
+def test_frame_sample_video_real(spark):
+    out = mm.frame_sample_video(_video_df(spark), every_n=3).toPandas()
+    # junk blob yields no rows; each real video samples frames 0,3,6,9
+    assert set(out["video_id"]) == {"v0", "v1"}
+    assert sorted(out[out["video_id"] == "v0"]["frame_idx"]) == [0, 3, 6, 9]
+    # sampled frame decodes to the original pixels (lossless fmt)
+    row = out[(out["video_id"] == "v0") & (out["frame_idx"] == 0)].iloc[0]
+    px = codec.decode_image(bytes(row["frame_bytes"]))
+    assert px.shape == (20, 24, 3)
+    base = codec.synth_pixels(0, 24, 20)
+    assert (px == base).all()
+
+
+def test_video_frame_phash_near_dup_pipeline(spark):
+    """Sampled frames -> per-frame pHash -> banded Hamming pairs: the
+    video near-dup path composes from existing image ops."""
+    from warps_nutch_spark.operators.dedup import hamming_pairs_int64
+
+    frames = mm.frame_sample_video(_video_df(spark), every_n=3)
+    feats = mm.image_features(frames, bytes_col="frame_bytes")
+    sigs = feats.filter(F.col("mm_ok")).select(
+        F.concat_ws(":", "video_id", F.col("frame_idx").cast("string")).alias(
+            "image_id"
+        ),
+        F.col("mm_phash").alias("phash"),
+    )
+    pairs = hamming_pairs_int64(
+        sigs, sig_col="phash", id_col="image_id", n_bands=8, max_hamming=7
+    ).toPandas()
+    # same-video frames differ by a tiny brightness nudge -> near-dups;
+    # at least the within-video pairs must surface
+    same_video = [
+        (a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])
+        if a.split(":")[0] == b.split(":")[0]
+    ]
+    assert len(same_video) >= 4

@@ -185,3 +185,44 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     )
     noise = rng.integers(-16, 17, size=(h, w, 3))
     return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# WNVM: the video container twin of WNIM — a header + N length-prefixed
+# WNIM frames. Real enough that frame sampling, per-frame decode, and
+# per-frame pHash run genuinely in the sandbox; a production cluster
+# swaps the codec for ffmpeg/pyav at the same call sites.
+# --------------------------------------------------------------------------
+VIDEO_MAGIC = b"WNVM"
+_VHEADER = struct.Struct("<4sBHI")  # magic, ver, fps, n_frames
+
+
+def encode_video(frames: list[np.ndarray], fps: int = 30, fmt: str = "png") -> bytes:
+    if not frames:
+        raise ValueError("empty video")
+    out = [_VHEADER.pack(VIDEO_MAGIC, 1, fps, len(frames))]
+    for px in frames:
+        blob = encode_image(px, fmt)
+        out.append(struct.pack("<I", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def video_info(data: bytes) -> tuple[int, int]:
+    """(fps, n_frames); raises ValueError on a non-WNVM blob."""
+    if len(data) < _VHEADER.size or data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a WNVM video")
+    _, _, fps, n = _VHEADER.unpack_from(data)
+    return fps, n
+
+
+def iter_video_frames(data: bytes):
+    """Yield (frame_idx, wnim_blob) without decoding pixels — sampling
+    can skip frames at container level (no wasted decode)."""
+    fps, n = video_info(data)
+    off = _VHEADER.size
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        yield i, data[off : off + ln]
+        off += ln

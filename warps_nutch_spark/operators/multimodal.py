@@ -311,16 +311,16 @@ def chunk_audio(
 
 
 def frame_sample_video(df: DataFrame, every_n: int = 30, bytes_col: str = "bytes") -> DataFrame:
-    """STUB — video frame sampling.
-
-    The Spark-side contract is real: input (id, bytes, meta...) ->
-    output one row per sampled frame with (frame_idx, frame_bytes).
-    Decoding requires ffmpeg/pyav, absent in this container; on a real
-    cluster replace ``_sample`` with an av.open(BytesIO(blob)) loop.
-    """
+    """Video frame sampling over the WNVM container: one output row
+    per sampled frame, carrying the frame's WNIM blob (feed it to
+    image_features/phash downstream). Sampling skips frames at the
+    container level — unsampled frames are never decoded. Non-WNVM
+    blobs (real mp4 etc. — ffmpeg/pyav absent in this sandbox) yield
+    no rows; on a cluster swap codec.iter_video_frames for an
+    av.open() loop at this one call site."""
 
     out_schema = T.StructType(
-        list(df.schema.fields)
+        [f for f in df.schema.fields if f.name != bytes_col]
         + [
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame_bytes", T.BinaryType()),
@@ -328,10 +328,26 @@ def frame_sample_video(df: DataFrame, every_n: int = 30, bytes_col: str = "bytes
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decoding unavailable in sandbox (no ffmpeg/pyav); "
-            "plumbing contract: one output row per sampled frame"
-        )
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[bytes_col]
+                if blob is None:
+                    continue
+                try:
+                    codec.video_info(bytes(blob))  # generator below is lazy
+                except ValueError:
+                    continue
+                frames = codec.iter_video_frames(bytes(blob))
+                base = {k: v for k, v in row.to_dict().items() if k != bytes_col}
+                for idx, fblob in frames:
+                    if idx % every_n:
+                        continue
+                    r = dict(base)
+                    r["frame_idx"] = idx
+                    r["frame_bytes"] = fblob
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(run, schema=out_schema)
 
