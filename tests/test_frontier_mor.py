@@ -262,3 +262,45 @@ def test_incremental_compaction_stray_tombstone_falls_back(spark, tmp_path):
     assert "compacted_buckets" not in st.lineage(v)  # full rewrite path
     got = {r["url_hash"] for r in st.read().collect()}
     assert "u3" not in got and len(got) == 11
+
+
+def test_read_host_pruned_equals_full_read(spark, tmp_path):
+    """read_host must equal read().filter(host) in every delta state,
+    including colocated tombstones, and scan only one bucket."""
+    from pyspark.sql import functions as F
+
+    st = _store(spark, tmp_path, compact_ratio=100.0)
+    rows = [(f"u{i}", (i % 6) + 1, float(i)) for i in range(24)]
+    st.init(_rows(spark, rows))
+    st.merge(_rows(spark, [("u1", 2, 100.0), ("u30", 2, 30.0)]))
+    st.delete(
+        spark.createDataFrame([("u7", "host2.test")], ["url_hash", "host"])
+    )
+    for host in ["host2.test", "host5.test"]:
+        want = {
+            r["url_hash"]: r["score"]
+            for r in st.read().filter(F.col("host") == host).collect()
+        }
+        got = {r["url_hash"]: r["score"] for r in st.read_host(host).collect()}
+        assert got == want, host
+    # base scan is partition-pruned: the bucket-filtered base relation
+    # reads exactly one host_bucket dir (input_file_name on the single
+    # source; read_host builds exactly this scan)
+    b = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit("host2.test")), F.lit(4)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+    base_scan = spark.read.parquet(st._data_dir(0)).filter(F.col("host_bucket") == b)
+    files = {r[0] for r in base_scan.select(F.input_file_name()).distinct().collect()}
+    base_buckets = {f.split("host_bucket=")[1].split("/")[0] for f in files}
+    assert base_buckets == {str(b)}
+
+    # host-less tombstone -> falls back, still equal
+    st.delete(spark.createDataFrame([("u2",)], ["url_hash"]))
+    for host in ["host3.test"]:
+        want = {
+            r["url_hash"] for r in st.read().filter(F.col("host") == host).collect()
+        }
+        got = {r["url_hash"] for r in st.read_host(host).collect()}
+        assert got == want

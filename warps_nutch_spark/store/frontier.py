@@ -170,6 +170,58 @@ class ParquetFrontierStore(FrontierStore):
         live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
         return kept.unionByName(live.select(*base.columns))
 
+    def read_host(self, host: str) -> DataFrame:
+        """Host-scoped MOR read that touches ONLY the host's bucket:
+        the base scan is partition-pruned to ``host_bucket=N`` (the S4
+        reversed-key range-scan analog, CrawlFilters.java:147-175) and
+        delta resolution filters to the same bucket. Falls back to the
+        full read when any delta carries a host-less tombstone (those
+        bucket by key and could sit outside the pruned bucket)."""
+        bucket_row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(host)), F.lit(self.host_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        )
+        b = bucket_row[0]["b"]
+        base_v, deltas = self._layout()
+        base = self.spark.read.parquet(self._data_dir(base_v)).filter(
+            F.col("host_bucket") == b
+        )
+        if "_tombstone" in base.columns:
+            base = base.filter(~F.col("_tombstone")).drop("_tombstone")
+        if not deltas:
+            return base.filter(F.col("host") == host)
+        dl = None
+        for dv in deltas:
+            d = self.spark.read.parquet(self._data_dir(dv)).withColumn(
+                "_delta_v", F.lit(dv)
+            )
+            if "_tombstone" not in d.columns:
+                d = d.withColumn("_tombstone", F.lit(False))
+            dl = d if dl is None else dl.unionByName(d)
+        stray = (
+            dl.filter(F.col("_tombstone") & F.col("host").isNull()).limit(1).count()
+            > 0
+        )
+        if stray:
+            return self.read().filter(F.col("host") == host)
+        dl = dl.filter(F.col("host_bucket") == b)
+        win = Window.partitionBy("url_hash").orderBy(F.desc("_delta_v"))
+        latest = (
+            dl.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_delta_v")
+        )
+        kept = base.join(latest.select("url_hash"), on="url_hash", how="left_anti")
+        live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
+        return kept.unionByName(live.select(*base.columns)).filter(
+            F.col("host") == host
+        )
+
     def init(self, df: DataFrame, lineage: dict | None = None) -> int:
         return self._write_snapshot(
             self.with_bucket(df), dict(lineage or {"op": "init"}), kind="base"
