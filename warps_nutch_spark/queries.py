@@ -782,8 +782,8 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EMBEDDING_COSINE_DEDUP = f"""
-WITH planes AS (
+# pair CTEs shared with the embedding_dedup_components closure oracle
+COSINE_PAIR_CTES = f"""planes AS (
   SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
   WHERE vec_id BETWEEN 1 AND {_ANN_PLANES}
 ),
@@ -805,15 +805,68 @@ pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-)
-SELECT p.vec_a, p.vec_b,
-       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
-FROM pairs p
-JOIN embeddings ea ON ea.vec_id = p.vec_a
-JOIN embeddings eb ON eb.vec_id = p.vec_b
-WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                             CAST(eb.embedding AS DOUBLE[])) > {_ANN_THRESHOLD}
+),
+verified AS (
+  SELECT p.vec_a, p.vec_b,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) > {_ANN_THRESHOLD}
+)"""
+
+ORACLE_EMBEDDING_COSINE_DEDUP = f"""
+WITH {COSINE_PAIR_CTES}
+SELECT vec_a, vec_b, cosine FROM verified
+"""
+
+
+def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup END-TO-END: sign-LSH cosine pairs -> connected
+    components -> canonical vector per near-dup cluster (the third
+    member of the dedup-family composition: text minhash and image
+    pHash have the same shape)."""
+    from .operators.ann import lsh_cosine_dedup
+    from .operators.cc import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").between(1, _ANN_PLANES))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    pairs = lsh_cosine_dedup(emb, planes, _ANN_BANDS, _ANN_BAND_LEN, _ANN_THRESHOLD)
+    comp = connected_components(pairs, src_col="vec_a", dst_col="vec_b")
+    return (
+        emb.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("canonical_id"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {COSINE_PAIR_CTES},
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM verified
+  UNION SELECT vec_b, vec_a FROM verified
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT e.vec_id,
+  coalesce(c.component, e.vec_id) AS canonical_id,
+  coalesce(c.component, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 """
 
 
@@ -1014,6 +1067,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
+    "embedding_dedup_components": q_embedding_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "host_queue_order": q_host_queue_order,
@@ -1042,6 +1096,7 @@ ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_lsh_buckets": ORACLE_EMBEDDING_LSH_BUCKETS,
     "embedding_cosine_dedup": ORACLE_EMBEDDING_COSINE_DEDUP,
+    "embedding_dedup_components": ORACLE_EMBEDDING_DEDUP_COMPONENTS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "host_queue_order": ORACLE_HOST_QUEUE_ORDER,
     "text_profile_signature": ORACLE_TEXT_PROFILE_SIGNATURE,
