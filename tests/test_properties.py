@@ -83,3 +83,57 @@ def test_vectorized_canonicalize_matches_scalar(batch):
     got = urls.canonicalize_series(pd.Series(batch, dtype="string")).tolist()
     want = [urls.canonicalize(u) for u in batch]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# banded Hamming pairs: exact recall+precision vs brute force for
+# d <= max_hamming < n_bands (pigeonhole) over generated signatures
+# ---------------------------------------------------------------------------
+_sig = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sigs=st.lists(_sig, min_size=2, max_size=24, unique=True),
+    flips=st.lists(
+        st.tuples(st.integers(0, 23), st.lists(st.integers(0, 63), min_size=1, max_size=7, unique=True)),
+        min_size=0,
+        max_size=4,
+    ),
+)
+def test_hamming_pairs_match_brute_force(spark, sigs, flips):
+    import itertools
+
+    import pandas as pd
+
+    from warps_nutch_spark.operators.dedup import hamming_pairs_int64
+
+    # plant near-dups: flip <= 7 bits of an existing signature
+    vals = list(sigs)
+    for src, bits in flips:
+        if src >= len(sigs):
+            continue
+        m = 0
+        for b in bits:
+            m |= 1 << b
+        twin = ((sigs[src] ^ m) + 2**63) % 2**64 - 2**63  # stay in int64
+        if twin not in vals:
+            vals.append(twin)
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    max_h, n_bands = 7, 8
+    truth = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2)
+        if ham(a, b) <= max_h
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": list(range(len(vals))), "phash": vals})
+    )
+    got = hamming_pairs_int64(
+        df, sig_col="phash", id_col="image_id", n_bands=n_bands, max_hamming=max_h
+    ).collect()
+    got_pairs = {tuple(sorted((r["id_a"], r["id_b"]))) for r in got}
+    assert got_pairs == truth
