@@ -244,6 +244,19 @@ def main():
         want=("HashAggregate",),
         forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
+    from warps_nutch_spark.queries_ext import q_embedding_sim_join, q_feed_items
+
+    audit(
+        "embedding_sim_join",
+        q_embedding_sim_join(spark, sf_dir),
+        want=("Window",),  # per-query top-k rank, no global sort
+        forbid=("CartesianProduct",),
+    )
+    feed_plan = formatted(q_feed_items(spark, sf_dir))
+    sections.append(("feed_items", feed_plan))
+    checks.append(
+        ("feed_items", "no Exchange (explode-only projection)", "Exchange" not in feed_plan)
+    )
     meta_plan = formatted(q_parse_metatags(spark, sf_dir))
     sections.append(("parse_metatags", meta_plan))
     # union of the two exploded branches scans twice but neither

@@ -1,7 +1,9 @@
-"""Round-2 driver-contract queries: oracle-backed entries for the §2
+"""Round-2+ driver-contract queries: oracle-backed entries for the §2
 operators that were previously pinned only by pytest (F5/F6, F8-F11,
-F14, P1, P5, Q5, R7/R8/R10, X3, I2) plus the SimHash Hamming-neighbor
-candidate join.
+F14, P1, P5, Q5, R7/R8/R10, X3, I2), the SimHash Hamming-neighbor
+candidate join, and the round-3 §2.10 surfaces (pHash pairs, dedup
+components, linkrank, parse-metatags/js/feed, subcollection/CC,
+politeness timing, batched similarity join, image dedup end-to-end).
 
 Same contract as queries.py: every query's Spark side calls the REAL
 operator/function code (not a reimplementation), and the oracle is the
