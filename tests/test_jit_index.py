@@ -107,3 +107,62 @@ def test_jit_min_text_length_filter(spark, tmp_path):
     path = os.path.join(wd, "index", "batch-0000")
     n = spark.read.text(path).count() if os.path.exists(path) else 0
     assert n == 0
+
+
+def test_jit_live_push_to_bulk_endpoint(spark, tmp_path):
+    """With index_endpoint set, every JIT round also POSTs its bulk
+    entries to the live endpoint — the fetcher -> JITIndexer ->
+    ElasticIndexWriter deployment shape, end to end."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                received.append((self.path, body))
+            resp = _json.dumps({"errors": False}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        wd = str(tmp_path / "crawl")
+        cfg = make_test_config(
+            top_n=120,
+            max_per_host=40,
+            crawl_delay_ms=500,
+            round_time_limit_ms=600_000,
+            index_jit=True,
+            index_min_text_length=0,
+            index_name="live",
+            index_endpoint=f"http://127.0.0.1:{srv.server_address[1]}",
+        )
+        web = SimWeb(*WEB)
+        drv = RoundDriver(spark, wd, cfg, WEB, START)
+        drv.inject(spark.createDataFrame([(u,) for u in web.seeds(2)], ["value"]))
+        drv.run_round(0)
+    finally:
+        srv.shutdown()
+    assert received, "no live bulk requests"
+    pushed_ids = set()
+    for path, body in received:
+        assert path == "/_bulk"
+        lines = [_json.loads(l) for l in body.decode().splitlines() if l]
+        for i in range(0, len(lines), 2):
+            assert lines[i]["index"]["_index"] == "live"
+            pushed_ids.add(lines[i]["index"]["_id"])
+    shard_ids = {
+        d["_id"] for d in _read_bulk_docs(spark, os.path.join(wd, "index", "batch-0000"))
+    }
+    assert pushed_ids == shard_ids and pushed_ids

@@ -109,6 +109,10 @@ class CrawlConfig:
     index_min_text_length: int = 200
     # _index name for the bulk sink
     index_name: str = "nutch"
+    # live index endpoint (ElasticIndexWriter deployment shape): when
+    # set, each JIT round ALSO pushes its bulk entries to
+    # {endpoint}/_bulk from the executors; empty = file shards only
+    index_endpoint: str = ""
 
     # --- fetch mode (fetch/FetchMode.java NATIVE|PROXY|CROWDSOURCING) --
     # "native": the in-engine politeness fetch engine;

@@ -376,10 +376,16 @@ class RoundDriver:
                     min_text_length=self.cfg.index_min_text_length,
                     prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
                 )
+                lines = idx_op.to_bulk_ndjson(docs, index_name=self.cfg.index_name)
                 idx_op.write_bulk_files(
-                    idx_op.to_bulk_ndjson(docs, index_name=self.cfg.index_name),
-                    os.path.join(self.workdir, "index", batch_id),
+                    lines, os.path.join(self.workdir, "index", batch_id)
                 )
+                if self.cfg.index_endpoint:
+                    # live deployment shape: the same bulk entries go
+                    # to {endpoint}/_bulk from the executors. A resumed
+                    # round re-pushes the batch — bulk index actions
+                    # are idempotent per _id, so replays are safe.
+                    idx_op.push_bulk_http(lines, self.cfg.index_endpoint)
                 self._mark_done(batch_id, "jit_index")
             stage_times["jit_index"] = time.time() - t_j
 
