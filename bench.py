@@ -160,9 +160,20 @@ def main() -> None:
     os.makedirs(os.path.dirname(full_path), exist_ok=True)
     with open(full_path, "w") as fh:
         json.dump({**headline, "crawl_detail": crawl}, fh, indent=1)
+    # early lines: full per-query timings + crawl detail (best effort —
+    # the driver may truncate these; the canonical copy is bench_full.json)
+    print(json.dumps({"queries": timings}))
     print(json.dumps({"crawl_detail": crawl}))
     sys.stdout.flush()
-    print(json.dumps(headline))
+    # FINAL line = the one the driver parses. r2+r3 postmortem: embedding
+    # the 60+-entry queries map here pushed the line past the driver's
+    # ~2.2 KB tail buffer and the HEAD (metric/value) got cut -> parsed
+    # null. Keep it headline-only.
+    compact = {k: v for k, v in headline.items() if k not in ("queries", "crawl")}
+    compact["crawl"] = {
+        k: v for k, v in headline["crawl"].items() if k != "per_round_stage_sec"
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

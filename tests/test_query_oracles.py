@@ -61,3 +61,35 @@ def test_query_matches_oracle(spark, duck, name):
             ), (name, c)
         else:
             assert a.astype(str).equals(b.astype(str)), (name, c)
+
+
+def test_driver_window_rotation():
+    """The driver checks only the first DRIVER_WINDOW entries of queries();
+    every _FRONT entry (never-checked or modified this round) must sit
+    inside that window, and every query key must still be present exactly
+    once after rotation."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    q = mod.queries()
+    order = list(q)
+    window = set(order[: mod.DRIVER_WINDOW])
+    for name in mod._FRONT:
+        assert name in window, f"{name} fell outside the driver's 50-row window"
+    # rotation must not drop or duplicate anything
+    from warps_nutch_spark.queries import ORACLES, QUERIES
+
+    assert set(order) == set(QUERIES) | {"crawl_round"}
+    assert len(order) == len(QUERIES) + 1
+    # oracle dict mirrors the rotation and stays aligned with queries()
+    o = mod.oracle_sql()
+    assert set(o) == set(ORACLES)
+    # any query with an oracle that is inside the window in queries() must
+    # exist in oracle_sql() so the driver hashes it rather than rows-only
+    for name in window & set(ORACLES):
+        assert name in o
