@@ -372,7 +372,7 @@ def hamming_pairs_int64(
     sigs: DataFrame,
     sig_col: str = "phash",
     id_col: str = "image_id",
-    n_bands: int = 4,
+    n_bands: int = 8,
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-duplicate pairs over a 64-bit integer signature (image
@@ -382,13 +382,13 @@ def hamming_pairs_int64(
 
     Pigeonhole guarantee: splitting 64 bits into ``n_bands`` equal
     bands, any pair within Hamming distance < n_bands must agree
-    exactly on at least one band, so bucket-joining per band has
-    perfect recall for max_hamming < n_bands * 1 ... more precisely a
-    pair at distance d can disagree on at most d bands, hence collides
-    whenever d < n_bands. For d up to 6 use n_bands >= 7, or accept
-    banded recall (documented per call site). The verify step is exact
-    (bit_count of xor), so banding only affects recall, never
-    precision.
+    exactly on at least one band: a pair at distance d can disagree on
+    at most d bands, hence collides whenever d < n_bands. The default
+    n_bands=8 therefore guarantees full recall for every d <= 7, which
+    covers the default max_hamming=6 with margin; callers lowering
+    n_bands below max_hamming+1 accept banded (partial) recall and
+    must document it. The verify step is exact (bit_count of xor), so
+    banding only affects recall, never precision.
 
     Scale shape: one generator per row (n_bands band rows), one
     shuffle for the self-join on (band, key), exact verify on

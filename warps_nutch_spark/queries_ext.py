@@ -1553,7 +1553,7 @@ def q_image_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = docs.select(F.col("doc_id").alias("image_id"), _phash_col().alias("phash"))
     pairs = hamming_pairs_int64(
-        sigs, sig_col="phash", id_col="image_id", n_bands=4, max_hamming=6
+        sigs, sig_col="phash", id_col="image_id", n_bands=8, max_hamming=6
     )
     comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
     return (
@@ -1586,8 +1586,8 @@ WITH RECURSIVE ph AS (
   FROM documents
 ),
 bands AS (
-  SELECT image_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
-  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+  SELECT image_id, phash, b.band, (phash >> (b.band * 8)) & 255 AS key
+  FROM ph, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b
 ),
 pairs AS (
   SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
@@ -1883,8 +1883,9 @@ FROM frontier
 # pinned by pytest — this driver query exercises the pairing operator
 # on a SQL-derivable 60-bit surrogate so DuckDB can replay it).
 # Planted near-dups: every doc with doc_id % 50 == 1 carries its
-# predecessor's hash with <= 2 bits flipped (Hamming <= 2 < n_bands=4,
-# so banding has perfect recall by pigeonhole).
+# predecessor's hash with <= 2 bits flipped. n_bands=8 (the
+# pigeonhole-safe default) guarantees full recall for every pair at
+# Hamming <= 7 >= max_hamming=6 — not just the planted d=2 twins.
 # ===========================================================================
 def _phash_col():
     """60-bit surrogate pHash: hex(md5) -> int64, with planted bit
@@ -1909,7 +1910,7 @@ def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = docs.select(F.col("doc_id").alias("image_id"), _phash_col().alias("phash"))
     pairs = hamming_pairs_int64(
-        sigs, sig_col="phash", id_col="image_id", n_bands=4, max_hamming=6
+        sigs, sig_col="phash", id_col="image_id", n_bands=8, max_hamming=6
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -1930,8 +1931,8 @@ WITH ph AS (
   FROM documents
 ),
 bands AS (
-  SELECT image_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
-  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+  SELECT image_id, phash, b.band, (phash >> (b.band * 8)) & 255 AS key
+  FROM ph, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
