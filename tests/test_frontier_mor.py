@@ -304,3 +304,45 @@ def test_read_host_pruned_equals_full_read(spark, tmp_path):
         }
         got = {r["url_hash"] for r in st.read_host(host).collect()}
         assert got == want
+
+
+def test_reopen_with_wrong_bucket_count_refused(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.init(_rows(spark, [("a", 1, 1.0)]))
+    with pytest.raises(ValueError, match="host_buckets"):
+        ParquetFrontierStore(spark, st.path, host_buckets=8)
+    # same count reopens fine
+    st2 = ParquetFrontierStore(spark, st.path, host_buckets=4)
+    assert st2.read().count() == 1
+
+
+def test_merge_linked_rejects_mismatched_bucketing(spark, tmp_path):
+    """A stale resume artifact bucketed with a different host_buckets
+    must not be adopted as a delta (bucket-pruned reads and incremental
+    compaction would resolve it against the wrong partitions)."""
+    st = _store(spark, tmp_path, compact_ratio=100.0)
+    st.init(_rows(spark, [("a", 1, 1.0), ("b", 2, 2.0)]))
+    other = ParquetFrontierStore(
+        spark, os.path.join(str(tmp_path), "other"), host_buckets=16
+    )
+    art = os.path.join(str(tmp_path), "artifact")
+    other.with_bucket(_rows(spark, [("b", 2, 20.0)])).write.parquet(art)
+    # stamped mismatch -> refused before any data check
+    other.stamp_bucketing(art)
+    with pytest.raises(ValueError, match="host_buckets"):
+        st.merge_linked(art)
+    # unstamped mismatch -> caught by the sample recheck (bucket value
+    # forced out of this store's range so the mismatch is deterministic)
+    art_bad = os.path.join(str(tmp_path), "artifact_bad")
+    st.with_bucket(_rows(spark, [("b", 2, 20.0)])).withColumn(
+        "host_bucket", F.lit(99)
+    ).write.parquet(art_bad)
+    with pytest.raises(ValueError, match="bucketing"):
+        st.merge_linked(art_bad)
+    # correctly bucketed + stamped artifact is adopted
+    art2 = os.path.join(str(tmp_path), "artifact2")
+    st.with_bucket(_rows(spark, [("b", 2, 20.0)])).write.parquet(art2)
+    st.stamp_bucketing(art2)
+    st.merge_linked(art2)
+    got = {r["url_hash"]: r["score"] for r in st.read().collect()}
+    assert got == {"a": 1.0, "b": 20.0}

@@ -103,3 +103,22 @@ def test_zip_entries_explode_and_corrupt(spark):
     assert set(ok["url_hash"]) == {"z1"}
     bad = out[~out["zip_ok"]]
     assert list(bad["url_hash"]) == ["z2"]
+
+
+def test_zip_entries_bomb_hardening(spark):
+    """Members are stream-truncated at max_entry_bytes (the full
+    inflated payload never materializes) and entries whose DECLARED
+    size exceeds the hard limit are skipped outright."""
+    blob = _zip_blob({"bomb.txt": b"x" * 200_000, "ok.txt": b"tiny"})
+    df = spark.createDataFrame(pd.DataFrame({"url_hash": ["z"], "bytes": [blob]}))
+    out = zip_entries(df, max_entry_bytes=1024).toPandas().set_index("entry_name")
+    assert len(bytes(out.loc["bomb.txt", "entry_bytes"])) == 1024
+    assert out.loc["bomb.txt", "entry_size"] == 200_000  # true declared size
+    assert bytes(out.loc["ok.txt", "entry_bytes"]) == b"tiny"
+    # declared-size hard limit drops the bomb entry entirely
+    out2 = (
+        zip_entries(df, max_entry_bytes=1024, max_declared_entry_bytes=100_000)
+        .toPandas()
+        .set_index("entry_name")
+    )
+    assert "bomb.txt" not in out2.index and "ok.txt" in out2.index

@@ -104,3 +104,28 @@ def test_crawl_file_tree_discovers_all(spark, tmp_path):
         f"file://{root}/b.html",
         f"file://{root}/sub/c.json",
     }
+
+
+def test_allowed_roots_confinement(spark, tmp_path):
+    """Untrusted outlinks must not read outside the configured roots:
+    paths outside get 403 (checked on the symlink-resolved path, so an
+    inside symlink pointing outside is also refused, not redirected)."""
+    root = _mk_tree(tmp_path)
+    outside = os.path.realpath(str(tmp_path)) + "/secret.txt"
+    with open(outside, "w") as f:
+        f.write("credential material")
+    os.symlink(outside, root + "/sneaky.txt")
+    out = _fetch(
+        spark,
+        [
+            f"file://{root}/a.txt",
+            f"file://{outside}",
+            f"file://{root}/sneaky.txt",
+            f"file://{root}/../secret.txt",
+        ],
+        allowed_roots=[root],
+    )
+    assert out.loc[f"file://{root}/a.txt", "code"] == 200
+    assert out.loc[f"file://{outside}", "code"] == 403
+    assert out.loc[f"file://{root}/sneaky.txt", "code"] == 403
+    assert out.loc[f"file://{root}/../secret.txt", "code"] == 403

@@ -361,7 +361,11 @@ ZIP_ENTRY_SCHEMA_FIELDS = [
 
 
 def zip_entries(
-    df, bytes_col: str = "bytes", id_col: str = "url_hash", max_entry_bytes: int = 1 << 20
+    df,
+    bytes_col: str = "bytes",
+    id_col: str = "url_hash",
+    max_entry_bytes: int = 1 << 20,
+    max_declared_entry_bytes: int = 1 << 28,
 ):
     """Explode zip archives into one row per member file
     (``plugin/parse-zip/.../ZipTextExtractor.java:73-110``: iterate
@@ -373,6 +377,11 @@ def zip_entries(
     mapInPandas + stdlib zipfile: per-row Python is legitimate here
     (binary decode), and the blob never round-trips through more than
     its own batch.
+
+    Zip-bomb hardening: crawled archives are untrusted, so members are
+    stream-truncated at ``max_entry_bytes`` (never fully inflated into
+    memory first), and entries whose DECLARED size exceeds
+    ``max_declared_entry_bytes`` are skipped outright.
     """
     import io
     import zipfile
@@ -392,7 +401,12 @@ def zip_entries(
                         for info in zf.infolist():
                             if info.is_dir():
                                 continue
-                            data = zf.read(info.filename)[:max_entry_bytes]
+                            if info.file_size > max_declared_entry_bytes:
+                                continue
+                            # read only the cap from the decompressor —
+                            # a bomb entry never materializes past it
+                            with zf.open(info) as member:
+                                data = member.read(max_entry_bytes)
                             rows.append(
                                 {
                                     id_col: rid,

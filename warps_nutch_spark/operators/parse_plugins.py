@@ -169,6 +169,10 @@ def js_outlinks_col(js_col: Column, base_url_col: Column) -> Column:
         .when(s.startswith("/"), F.concat(origin, s))
         .otherwise(F.concat(basedir, s)),
     )
+    # admission gate: only http(s) outlinks enter the crawl — a hostile
+    # page quoting file:// or other scheme-absolute strings must not be
+    # able to steer the fetcher at local or exotic resources
+    resolved = F.filter(resolved, lambda s: s.rlike("^https?://"))
     return F.array_sort(F.array_distinct(resolved))
 
 

@@ -78,8 +78,20 @@ def _list2html(path: str, include_parent: bool) -> bytes:
     return doc.encode("utf-8")
 
 
+def _confined(real_path: str, allowed_roots: tuple[str, ...]) -> bool:
+    for root in allowed_roots:
+        r = os.path.realpath(root).rstrip("/")
+        if real_path == r or real_path.startswith(r + "/"):
+            return True
+    return False
+
+
 def _fetch_one(
-    url: str, modified_ms: int | None, max_content_length: int, crawl_parents: bool
+    url: str,
+    modified_ms: int | None,
+    max_content_length: int,
+    crawl_parents: bool,
+    allowed_roots: tuple[str, ...] | None,
 ) -> dict:
     out = {
         "url": url,
@@ -95,6 +107,15 @@ def _fetch_one(
         out["code"] = 400
         return out
     path = unquote(parsed.path) or "/"
+    if allowed_roots is not None and not _confined(
+        os.path.realpath(path), allowed_roots
+    ):
+        # confinement check runs FIRST (on the symlink-resolved path) so
+        # hostile page content cannot steer the crawl into credential or
+        # config files outside the configured roots, nor use a 300
+        # redirect to leak the canonical target of an outside symlink
+        out["code"] = 403
+        return out
     if not os.path.exists(path):
         out["code"] = 404
         return out
@@ -143,8 +164,16 @@ def fetch_file_urls(
     modified_col: str | None = None,
     max_content_length: int = 65_536,
     crawl_parents: bool = False,
+    allowed_roots: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
-    """Fetch a DataFrame of ``file://`` URLs -> HTTP-shaped responses."""
+    """Fetch a DataFrame of ``file://`` URLs -> HTTP-shaped responses.
+
+    ``allowed_roots`` confines reads: any URL whose symlink-resolved
+    path falls outside the given directories gets a 403. Pass the crawl
+    roots whenever the URL set contains crawled (untrusted) outlinks;
+    ``None`` (unconfined) is for operator-supplied seed trees only.
+    """
+    roots = tuple(allowed_roots) if allowed_roots is not None else None
 
     def _batch(it):
         for pdf in it:
@@ -157,7 +186,11 @@ def fetch_file_urls(
                 )
                 rows.append(
                     _fetch_one(
-                        pdf[url_col].iloc[i], mod, max_content_length, crawl_parents
+                        pdf[url_col].iloc[i],
+                        mod,
+                        max_content_length,
+                        crawl_parents,
+                        roots,
                     )
                 )
             out = pd.DataFrame(rows)

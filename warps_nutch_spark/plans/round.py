@@ -339,6 +339,11 @@ class RoundDriver:
         if not self._done(batch_id, "parse"):
             if self._stage_data_ok(batch_id, "parse"):
                 parsed = self._read_stage(batch_id, "parse")  # resume: reuse
+                if "bytes" in parsed.columns:
+                    # artifact from the pre-drop layout still carries the
+                    # payload bytes; keep the fetch artifact's copy as the
+                    # single source so the join below stays unambiguous
+                    parsed = parsed.drop("bytes")
             else:
                 parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
                 # the payload bytes already persist in the fetch
@@ -443,6 +448,11 @@ class RoundDriver:
                 merge_rows = self.store.with_bucket(merge_rows.drop("host_bucket"))
                 with python_stage_parallelism(self.spark):
                     merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
+                # record the bucket count the artifact was written with so
+                # merge_linked can reject a stale-layout resume artifact
+                self.store.stamp_bucketing(
+                    os.path.join(self._stage_dir(batch_id, "updatedb"), "data")
+                )
             if ("updatedb", batch_id) not in self.store.committed_ops():
                 lineage = {"op": "updatedb", "batch_id": batch_id}
                 try:

@@ -1403,16 +1403,20 @@ gated AS (
   SELECT doc_id, url, replace(s, '&amp;', '&') AS s
   FROM cand
   WHERE regexp_matches(s, '^/?[^\\s]+[/.][^\\s]*$')
+),
+resolved AS (
+  SELECT DISTINCT doc_id,
+    CASE
+      WHEN regexp_matches(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN s
+      WHEN starts_with(s, 'www.') THEN 'http://' || s
+      WHEN starts_with(s, '/')
+        THEN regexp_extract(url, '^(https?://[^/]+)', 1) || s
+      ELSE regexp_replace(url, '[^/]*$', '') || s
+    END AS outlink
+  FROM gated
 )
-SELECT DISTINCT doc_id,
-  CASE
-    WHEN regexp_matches(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN s
-    WHEN starts_with(s, 'www.') THEN 'http://' || s
-    WHEN starts_with(s, '/')
-      THEN regexp_extract(url, '^(https?://[^/]+)', 1) || s
-    ELSE regexp_replace(url, '[^/]*$', '') || s
-  END AS outlink
-FROM gated
+SELECT doc_id, outlink FROM resolved
+WHERE regexp_matches(outlink, '^https?://')
 """
 
 

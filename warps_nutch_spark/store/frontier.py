@@ -74,6 +74,33 @@ class ParquetFrontierStore(FrontierStore):
         self.host_buckets = host_buckets
         self.compact_ratio = compact_ratio
         os.makedirs(path, exist_ok=True)
+        # the bucket count is part of the on-disk layout: reopening an
+        # existing store with a different host_buckets would make
+        # bucket-pruned reads and incremental compaction resolve against
+        # the wrong partitions (silently dropping rows with bucket ids
+        # >= the new count). Persist it on first open and hard-fail on
+        # mismatch ever after.
+        meta_file = os.path.join(path, "_STORE_META.json")
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                meta = json.load(f)
+            disk_buckets = int(meta.get("host_buckets", -1))
+            if disk_buckets != host_buckets:
+                raise ValueError(
+                    f"frontier store at {path} was created with "
+                    f"host_buckets={disk_buckets}; reopening with "
+                    f"host_buckets={host_buckets} would corrupt bucket-"
+                    f"pruned reads and compaction. Pass the original value."
+                )
+        else:
+            with open(meta_file, "w") as f:
+                json.dump(
+                    {
+                        "host_buckets": host_buckets,
+                        "bucket_scheme": "pmod(xxhash64(host), host_buckets)",
+                    },
+                    f,
+                )
 
     # -- version bookkeeping ------------------------------------------
     @property
@@ -285,6 +312,40 @@ class ParquetFrontierStore(FrontierStore):
         if not cols <= set(src.columns):
             missing = cols - set(src.columns)
             raise ValueError(f"merge_linked: artifact missing columns {missing}")
+        # the artifact's host_bucket values must have been computed with
+        # THIS store's bucket count — a stale resume artifact with a
+        # different bucketing would pass the column check but poison
+        # bucket-pruned reads and incremental compaction. Writers stamp
+        # the count via stamp_bucketing(); unstamped artifacts get a
+        # bounded sample recheck instead of blind trust.
+        stamp = os.path.join(data_dir, "_WNS_BUCKETING.json")
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                artifact_buckets = int(json.load(f).get("host_buckets", -1))
+            if artifact_buckets != self.host_buckets:
+                raise ValueError(
+                    f"merge_linked: artifact bucketed with host_buckets="
+                    f"{artifact_buckets}, store uses {self.host_buckets}; "
+                    f"use merge() to rebucket"
+                )
+        else:
+            mismatch = (
+                src.filter(F.col("host").isNotNull())
+                .limit(1024)
+                .withColumn(
+                    "_expected",
+                    F.pmod(F.xxhash64("host"), F.lit(self.host_buckets)).cast("int"),
+                )
+                .filter(F.col("host_bucket") != F.col("_expected"))
+                .limit(1)
+                .count()
+            )
+            if mismatch:
+                raise ValueError(
+                    "merge_linked: artifact host_bucket values do not match "
+                    f"this store's bucketing (host_buckets={self.host_buckets}); "
+                    "use merge() to rebucket"
+                )
         v = self.current_version() + 1
         out = self._data_dir(v)
         os.makedirs(out, exist_ok=True)
@@ -312,6 +373,13 @@ class ParquetFrontierStore(FrontierStore):
         if delta_rows > self.compact_ratio * max(base_rows, 1):
             self.compact()
         return self.current_version()
+
+    def stamp_bucketing(self, data_dir: str) -> None:
+        """Record this store's bucket count inside a stage-artifact
+        directory so a later :meth:`merge_linked` can verify the
+        artifact's ``host_bucket`` column matches the store layout."""
+        with open(os.path.join(data_dir, "_WNS_BUCKETING.json"), "w") as f:
+            json.dump({"host_buckets": self.host_buckets}, f)
 
     def delete(self, keys: DataFrame, lineage: dict | None = None) -> int:
         """Equality delete (Iceberg MERGE ... WHEN MATCHED THEN DELETE
@@ -401,9 +469,16 @@ class ParquetFrontierStore(FrontierStore):
         base = self.spark.read.parquet(base_dir)
         if "_tombstone" in base.columns:
             base = base.filter(~F.col("_tombstone")).drop("_tombstone")
-        untouched = [
-            b for b in range(self.host_buckets) if b not in set(touched)
-        ]
+        # derive untouched buckets from the base directory listing, not
+        # range(host_buckets): the listing is ground truth for what the
+        # base actually holds, so even a bucket-count drift that slipped
+        # past the _STORE_META guard cannot silently drop partitions
+        base_listed = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base_dir)
+            if d.startswith("host_bucket=") and os.path.isdir(os.path.join(base_dir, d))
+        )
+        untouched = [b for b in base_listed if b not in set(touched)]
         if not untouched:
             return self._write_snapshot(self.read(), meta, kind="base")
         # resolve MOR only for the touched buckets (partition-pruned
