@@ -120,6 +120,15 @@ class CrawlConfig:
     # responses (operators/fetch_service.py). PROXY is a protocol swap
     # inside native mode.
     fetch_mode: str = "native"
+    # REST transport for crowd mode (fetch/service/FetchServer.java):
+    # when >= 0 and fetch_mode == "crowd", the round driver serves the
+    # task table over HTTP on this port (0 = ephemeral) and waits for
+    # external workers to GET /fetch/schedule + PUT /fetch/submit;
+    # -1 keeps the in-process worker-callback simulation.
+    fetch_service_port: int = -1
+    # how long a round waits for workers before unreturned tasks flow
+    # back as pending-requeue rows
+    fetch_service_wait_s: float = 60.0
 
     # --- partitioning / skew -------------------------------------------
     # partition.url.mode analog (URLPartitioner.java:69-104,

@@ -97,7 +97,14 @@ def emit_fetch_tasks(
         .withColumn("queue_rank", F.row_number().over(queue_win))
         .withColumn(
             "crawl_delay_ms",
-            F.coalesce(F.col("robots_delay"), F.lit(int(cfg.crawl_delay_ms))),
+            # robots frames built from pandas carry NaN (not NULL) for
+            # hosts without a Crawl-delay — coalesce alone would leak
+            # NaN to workers
+            F.when(
+                F.col("robots_delay").isNotNull()
+                & ~F.isnan(F.col("robots_delay").cast("double")),
+                F.col("robots_delay").cast("long"),
+            ).otherwise(F.lit(int(cfg.crawl_delay_ms))),
         )
         .drop("robots_delay")
         .withColumn("task_batch", F.lit(batch_id))

@@ -508,15 +508,38 @@ class RoundDriver:
         tasks, denied = svc.emit_fetch_tasks(
             fetchlist, self._robots_df(), self.cfg, batch_id
         )
-        task_pdf = tasks.select("url_hash", "url").toPandas()
-        submitted = self.spark.createDataFrame(
-            self.crowd_worker(task_pdf, now), schema=(
-                "url_hash string, http_status int, bytes binary,"
-                " out_urls array<string>, fetch_ts long,"
-                " fetch_duration_ms long, worker_id string"
-            ),
-        )
+        if self.cfg.fetch_service_port >= 0:
+            # REST transport (fetch/service/FetchServer.java): serve the
+            # task table over live HTTP and wait for external workers
+            srv = self._ensure_fetch_server()
+            srv.publish(tasks)
+            srv.await_complete(self.cfg.fetch_service_wait_s)
+            submitted = srv.drain_results(self.spark)
+        else:
+            task_pdf = tasks.select("url_hash", "url").toPandas()
+            submitted = self.spark.createDataFrame(
+                self.crowd_worker(task_pdf, now), schema=(
+                    "url_hash string, http_status int, bytes binary,"
+                    " out_urls array<string>, fetch_ts long,"
+                    " fetch_duration_ms long, worker_id string"
+                ),
+            )
         return svc.ingest_fetch_results(tasks, denied, submitted, batch_id, now)
+
+    def _ensure_fetch_server(self):
+        if getattr(self, "_fetch_server", None) is None:
+            from ..operators.fetch_server import FetchServer
+
+            self._fetch_server = FetchServer(port=self.cfg.fetch_service_port)
+        return self._fetch_server
+
+    def close(self) -> None:
+        """Release driver-held transport resources (the REST fetch
+        server, when one was started)."""
+        srv = getattr(self, "_fetch_server", None)
+        if srv is not None:
+            srv.close()
+            self._fetch_server = None
 
     def crowd_worker(self, task_pdf, now: int):
         """Default external-worker simulation over SimWeb (override or
