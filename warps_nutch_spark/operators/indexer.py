@@ -19,12 +19,108 @@ from ..functions import urls
 from ..functions.status import CrawlStatus
 
 
-def build_index_documents(frontier: DataFrame, batch_id: str | None = None) -> DataFrame:
+# MoreIndexingFilter.addType fallback branch: the mime type resolved
+# from the URL extension (MimeUtil.getMimeType(url)); crawled pages
+# without a recognized extension index as text/html
+_URL_MIME = [
+    (r"\.jpe?g([?#]|$)", "image/jpeg"),
+    (r"\.png([?#]|$)", "image/png"),
+    (r"\.gif([?#]|$)", "image/gif"),
+    (r"\.wnim([?#]|$)", "image/x-wnim"),
+    (r"\.pdf([?#]|$)", "application/pdf"),
+    (r"\.txt([?#]|$)", "text/plain"),
+    (r"\.json([?#]|$)", "application/json"),
+    (r"\.(xml|rss)([?#]|$)", "application/xml"),
+]
+
+
+def content_type_col(url) -> F.Column:
+    expr = F.lit("text/html")
+    low = F.lower(url)
+    for pat, mime in reversed(_URL_MIME):
+        expr = F.when(low.rlike(pat), F.lit(mime)).otherwise(expr)
+    return expr
+
+
+def build_index_documents(
+    frontier: DataFrame,
+    batch_id: str | None = None,
+    site_names: DataFrame | None = None,
+    metatags: DataFrame | None = None,
+    metatag_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """One index document per FETCHED page (IndexJob scan guard:
-    UPDATEDB_MARK present -> here updated_batch/fetched state)."""
+    UPDATEDB_MARK present -> here updated_batch/fetched state).
+
+    Beyond index-basic/anchor, the document carries the index-more
+    fields (``plugin/index-more/.../MoreIndexingFilter.java``:
+    content type + primary/sub type from the URL extension fallback,
+    content length, last-modified time) and the index-metadata fields
+    (``plugin/index-metadata/.../MetadataIndexer.java``: crawl-time
+    history, site name via the ``site_names`` mapping table
+    (SiteNames.java), resource category (ResourceCategory.java — the
+    page-category classifier), and ``meta_<key>`` fields copied from
+    the parse metatags for each configured ``metatag_keys`` entry,
+    the ``index.metadata`` property analog).
+
+    ``site_names``: optional (domain, site_name) mapping — broadcast
+    joined. ``metatags``: optional (url_hash, tags map<string,string>)
+    from the metatags parse filter — joined by key.
+    """
+    from .rows import page_category_col
+
     docs = frontier.filter(F.col("status") == CrawlStatus.FETCHED)
     if batch_id is not None:
         docs = docs.filter(F.col("fetched_batch") == batch_id)
+    ct = content_type_col(F.col("url"))
+    extra = [
+        # --- index-more (MoreIndexingFilter.java) ---
+        ct.alias("content_type"),
+        F.split_part(ct, F.lit("/"), F.lit(1)).alias("primary_type"),
+        F.split_part(ct, F.lit("/"), F.lit(2)).alias("sub_type"),
+        # the graft's indexable content is the caption (ascii); its
+        # byte length is the Content-Length analog (addLength)
+        F.octet_length(F.coalesce(F.col("caption"), F.lit(""))).cast("long").alias(
+            "content_length"
+        ),
+        # addTime: last-modified when known, else unset
+        F.when(F.col("modified_time") > 0, F.col("modified_time")).alias(
+            "last_modified_ms"
+        ),
+        # --- index-metadata (MetadataIndexer.java addTime) ---
+        F.coalesce(
+            F.when(F.col("prev_fetch_time") > 0, F.col("prev_fetch_time")),
+            F.col("fetch_time"),
+        ).alias("first_crawl_time_ms"),
+        F.col("fetch_time").alias("last_crawl_time_ms"),
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("prev_fetch_time") > 0, F.col("prev_fetch_time").cast("string")
+            ),
+            F.col("fetch_time").cast("string"),
+        ).alias("fetch_time_history"),
+        page_category_col(F.col("url")).alias("resource_category"),
+    ]
+    for key in metatag_keys:
+        # try_element_at: ANSI-safe NULL for absent keys
+        extra.append(F.try_element_at(F.col("_tags"), F.lit(key)).alias(f"meta_{key}"))
+    if metatags is not None:
+        docs = docs.join(
+            metatags.select("url_hash", F.col("tags").alias("_tags")),
+            on="url_hash",
+            how="left",
+        )
+    elif metatag_keys:
+        docs = docs.withColumn("_tags", F.lit(None).cast("map<string,string>"))
+    if site_names is not None:
+        sn = site_names.select(F.col("domain").alias("_sn_domain"), "site_name")
+        docs = docs.withColumn("_domain", urls.domain_col(F.col("host"))).join(
+            F.broadcast(sn), F.col("_domain") == F.col("_sn_domain"), "left"
+        )
+        extra.append(F.col("site_name"))
+    else:
+        extra.append(F.lit(None).cast("string").alias("site_name"))
     return docs.select(
         F.col("url_hash").alias("id"),
         F.col("url"),
@@ -49,6 +145,7 @@ def build_index_documents(frontier: DataFrame, batch_id: str | None = None) -> D
         ).alias("anchors"),
         # representative URL when the page redirected (reprUrl field)
         F.col("repr_url"),
+        *extra,
     )
 
 
@@ -206,6 +303,10 @@ def build_jit_documents(
             "inlinks",
             F.lit(None).cast("array<struct<url:string,anchor:string>>"),
         ).withColumn("repr_url", F.lit(None).cast("string"))
+    from .rows import page_category_col
+
+    _jit_ct = content_type_col(F.col("url"))
+    _jit_category = page_category_col(F.col("url"))
     return docs.select(
         F.col("url_hash").alias("id"),
         F.col("url"),
@@ -227,6 +328,24 @@ def build_jit_documents(
             )
         ).alias("anchors"),
         F.col("repr_url"),
+        # index-more / index-metadata fields known AT FETCH TIME (same
+        # default column set as build_index_documents so the two doc
+        # streams stay interchangeable): modified-time and crawl
+        # history live in the frontier, not the parse artifact, so the
+        # JIT doc carries this round's fetch_ts as its crawl time and
+        # no last-modified — the frontier IndexJob doc supersedes it
+        _jit_ct.alias("content_type"),
+        F.split_part(_jit_ct, F.lit("/"), F.lit(1)).alias("primary_type"),
+        F.split_part(_jit_ct, F.lit("/"), F.lit(2)).alias("sub_type"),
+        F.octet_length(F.coalesce(F.col("caption"), F.lit(""))).cast("long").alias(
+            "content_length"
+        ),
+        F.lit(None).cast("long").alias("last_modified_ms"),
+        F.col("fetch_ts").alias("first_crawl_time_ms"),
+        F.col("fetch_ts").alias("last_crawl_time_ms"),
+        F.col("fetch_ts").cast("string").alias("fetch_time_history"),
+        _jit_category.alias("resource_category"),
+        F.lit(None).cast("string").alias("site_name"),
     )
 
 

@@ -1271,8 +1271,50 @@ def q_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 5 == 0,
             F.concat(F.lit("http://r.test/"), sid),
         ).alias("repr_url"),
+        # index-more/index-metadata inputs: last-modified for every
+        # 4th doc, a prior fetch for every even doc
+        F.when(F.col("doc_id") % 4 == 0, F.lit(NOW) - F.col("doc_id") * 1000)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("modified_time"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(NOW) - 86_400_000)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("prev_fetch_time"),
     )
-    docs = build_index_documents(complete_rows(enriched, CFG, NOW))
+    # SiteNames.java mapping table: even-numbered sources are "known
+    # sites"; MetadataIndexer leaves the rest unset
+    site_names = (
+        fr.select("host")
+        .distinct()
+        .select(
+            F.col("host").alias("domain"),
+            F.when(
+                F.regexp_extract("host", r"^src(\d+)\.test$", 1).cast("int") % 2 == 0,
+                F.concat(F.lit("Site "), F.regexp_extract("host", r"^(src\d+)", 1)),
+            ).alias("site_name"),
+        )
+        .filter(F.col("site_name").isNotNull())
+    )
+    # index.metadata parse-metatag copy: description/keywords present,
+    # author configured but absent (-> NULL meta_author)
+    # tag values derive from the URL (not doc_id): index.html URLs
+    # repeat across doc_ids, and the url_hash-keyed join must stay 1:1
+    metatags = fr.select(
+        F.sha1(F.col("url")).alias("url_hash"),
+        F.create_map(
+            F.lit("description"),
+            F.concat(F.lit("desc "), (F.length("url") % 7).cast("string")),
+            F.lit("keywords"),
+            F.concat(F.lit("k"), (F.length("url") % 5).cast("string")),
+        ).alias("tags"),
+    ).dropDuplicates(["url_hash"])
+    docs = build_index_documents(
+        complete_rows(enriched, CFG, NOW),
+        site_names=site_names,
+        metatags=metatags,
+        metatag_keys=("description", "keywords", "author"),
+    )
     return docs.select(
         "url",
         "host",
@@ -1285,6 +1327,21 @@ def q_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # flatten the anchor set to a sorted joined string
         F.array_join(F.array_sort("anchors"), "|").alias("anchors"),
         "repr_url",
+        # index-more (MoreIndexingFilter)
+        "content_type",
+        "primary_type",
+        "sub_type",
+        "content_length",
+        "last_modified_ms",
+        # index-metadata (MetadataIndexer)
+        "first_crawl_time_ms",
+        "last_crawl_time_ms",
+        "fetch_time_history",
+        "resource_category",
+        "site_name",
+        "meta_description",
+        "meta_keywords",
+        "meta_author",
     )
 
 
@@ -1298,7 +1355,25 @@ SELECT url, host,
   score AS boost,
   CAST({NOW} AS BIGINT) * 1000 AS tstamp_us,
   array_to_string(list_sort(['a' || CAST(doc_id % 3 AS VARCHAR), 'a' || CAST(doc_id % 3 + 1 AS VARCHAR)]), '|') AS anchors,
-  CASE WHEN doc_id % 5 = 0 THEN 'http://r.test/' || CAST(doc_id AS VARCHAR) END AS repr_url
+  CASE WHEN doc_id % 5 = 0 THEN 'http://r.test/' || CAST(doc_id AS VARCHAR) END AS repr_url,
+  CASE WHEN doc_id % 5 = 2 THEN 'image/jpeg' ELSE 'text/html' END AS content_type,
+  CASE WHEN doc_id % 5 = 2 THEN 'image' ELSE 'text' END AS primary_type,
+  CASE WHEN doc_id % 5 = 2 THEN 'jpeg' ELSE 'html' END AS sub_type,
+  CAST(strlen('caption of ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS content_length,
+  CASE WHEN doc_id % 4 = 0 THEN CAST({NOW} AS BIGINT) - doc_id * 1000 END AS last_modified_ms,
+  CASE WHEN doc_id % 2 = 0 THEN CAST({NOW} AS BIGINT) - 86400000
+       ELSE CAST({NOW} AS BIGINT) END AS first_crawl_time_ms,
+  CAST({NOW} AS BIGINT) AS last_crawl_time_ms,
+  CASE WHEN doc_id % 2 = 0
+       THEN CAST({NOW} - 86400000 AS VARCHAR) || ',' || CAST({NOW} AS VARCHAR)
+       ELSE CAST({NOW} AS VARCHAR) END AS fetch_time_history,
+  CASE doc_id % 5 WHEN 0 THEN 'INDEX' WHEN 1 THEN 'SEARCH'
+       WHEN 2 THEN 'MEDIA' ELSE 'DETAIL' END AS resource_category,
+  CASE WHEN CAST(regexp_extract(host, '^src(\\d+)\\.test$', 1) AS INT) % 2 = 0
+       THEN 'Site ' || regexp_extract(host, '^(src\\d+)', 1) END AS site_name,
+  'desc ' || CAST(strlen(url) % 7 AS VARCHAR) AS meta_description,
+  'k' || CAST(strlen(url) % 5 AS VARCHAR) AS meta_keywords,
+  CAST(NULL AS VARCHAR) AS meta_author
 FROM frontier
 WHERE doc_id % 3 = 0
 """
