@@ -107,6 +107,8 @@ _FRONT = [
     "embedding_ivf_topk",
     # modified this round (index-metadata/index-more fields; pHash n_bands=8)
     "index_documents",
+    # new this round (indexed IVF similarity join)
+    "embedding_sim_join_indexed",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

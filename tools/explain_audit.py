@@ -177,6 +177,26 @@ def main():
         ivf_probe.exceptAll(q_embedding_ivf_topk(spark, sf_dir)).count() == 0
     )
     checks.append(("ivf_indexed_probe", "results == ivf_topk", same))
+
+    # 6d. batched similarity join over the SAME materialized index:
+    # assignment not recomputed per call, probe set resolved driver-side
+    # to a literal IN -> static partition pruning for the whole batch
+    from warps_nutch_spark.queries_ext import (
+        q_embedding_sim_join,
+        q_embedding_sim_join_indexed,
+    )
+
+    sj_indexed = q_embedding_sim_join_indexed(spark, sf_dir)
+    audit(
+        "ivf_sim_join_indexed",
+        sj_indexed,
+        want=("PartitionFilters",),
+        forbid=("CartesianProduct",),
+    )
+    sj_same = (
+        sj_indexed.exceptAll(q_embedding_sim_join(spark, sf_dir)).count() == 0
+    )
+    checks.append(("ivf_sim_join_indexed", "results == embedding_sim_join", sj_same))
     audit(
         "events_sessionized",
         q_events_sessionized(spark, sf_dir),

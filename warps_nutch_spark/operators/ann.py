@@ -325,7 +325,29 @@ def ivf_topk_batch(
     """
     from pyspark.sql import Window
 
-    probe = (
+    probe = _probe_table(queries, centroids, n_probe, query_id_col)
+    assign = ivf_assign(emb, centroids, id_col)
+    corpus = emb.join(assign, on=id_col)
+    cand = corpus.join(probe, on="centroid_id")
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_col(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+    )
+    topw = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(topw))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("_rn").cast("bigint").alias("rank"))
+    )
+
+
+def _probe_table(queries, centroids, n_probe, query_id_col):
+    """(query_id, qe, centroid_id): each query's n_probe nearest
+    centroids, via a broadcast of the (small) centroid table."""
+    from pyspark.sql import Window
+
+    return (
         queries.crossJoin(F.broadcast(centroids))
         .select(
             query_id_col,
@@ -344,8 +366,41 @@ def ivf_topk_batch(
         .filter(F.col("_pr") <= n_probe)
         .select(query_id_col, "qe", "centroid_id")
     )
-    assign = ivf_assign(emb, centroids, id_col)
-    corpus = emb.join(assign, on=id_col)
+
+
+def ivf_topk_batch_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched similarity join over a MATERIALIZED IVF index
+    (:func:`ivf_write_index`) — same results as :func:`ivf_topk_batch`
+    by construction, but the corpus assignment is NOT recomputed per
+    call: the index directory already stores embeddings partitioned by
+    ``centroid_id``, and the scan filter is a LITERAL IN over the
+    union of every query's probe set (at most n_centroids values, so
+    the driver-side resolve is O(1) regardless of |Q|), giving static
+    partition pruning (``PartitionFilters`` in the plan — only the
+    probed partition directories are read).
+
+    This is the production retrieval shape at 100 TB: write the index
+    once (one assign + one partitioned write), then every batch of
+    queries reads corpus/n_centroids x n_probed_partitions bytes."""
+    from pyspark.sql import Window
+
+    probe = _probe_table(queries, centroids, n_probe, query_id_col)
+    probed_ids = sorted(
+        r["centroid_id"]
+        for r in probe.select("centroid_id").distinct().collect()
+    )
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
     cand = corpus.join(probe, on="centroid_id")
     scored = cand.select(
         query_id_col,

@@ -1433,6 +1433,37 @@ LIMIT {_IVF_K}
 """
 
 
+# indexed variant: the SAME similarity join, but over the persisted
+# IVF index (ivf_write_index output) — corpus assignment computed once
+# per sf_dir, every call after that is a partition-pruned probe
+# (PartitionFilters; plan-audited in PLANS.md ivf_sim_join_indexed).
+_SJ_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_embedding_sim_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .operators.ann import ivf_topk_batch_indexed, ivf_write_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id").between(1, _IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    queries = emb.filter((F.col("vec_id") % 61 == 0) & (F.col("vec_id") >= 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    path = _SJ_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        path = os.path.join(tempfile.mkdtemp(prefix="wns-ivf-sj-"), "index")
+        ivf_write_index(corpus, cent, path)
+        _SJ_INDEX_CACHE[sf_dir] = path
+    return ivf_topk_batch_indexed(
+        spark, path, cent, queries, k=_SJ_K, n_probe=_SJ_PROBE
+    )
+
+
 # ===========================================================================
 # parse-js: outlink candidates from JavaScript (JSParseFilter's
 # quoted-string scan + URI-shape gate + base resolution), exploded to
@@ -2059,6 +2090,7 @@ EXT_QUERIES = {
     "parse_metatags": q_parse_metatags,
     "subcollection_cc": q_subcollection_cc,
     "embedding_sim_join": q_embedding_sim_join,
+    "embedding_sim_join_indexed": q_embedding_sim_join_indexed,
     "js_outlinks": q_js_outlinks,
     "feed_items": q_feed_items,
     "image_dedup_components": q_image_dedup_components,
@@ -2098,6 +2130,8 @@ EXT_ORACLES = {
     "parse_metatags": ORACLE_PARSE_METATAGS,
     "subcollection_cc": ORACLE_SUBCOLLECTION_CC,
     "embedding_sim_join": ORACLE_EMBEDDING_SIM_JOIN,
+    # same oracle: the indexed probe must return identical rows
+    "embedding_sim_join_indexed": ORACLE_EMBEDDING_SIM_JOIN,
     "js_outlinks": ORACLE_JS_OUTLINKS,
     "feed_items": ORACLE_FEED_ITEMS,
     "image_dedup_components": _image_dedup_components_sql(),
