@@ -107,8 +107,9 @@ _FRONT = [
     "embedding_ivf_topk",
     # modified this round (index-metadata/index-more fields; pHash n_bands=8)
     "index_documents",
-    # new this round (indexed IVF similarity join)
+    # new this round (indexed IVF similarity join; parse-swf)
     "embedding_sim_join_indexed",
+    "parse_swf",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

@@ -122,3 +122,46 @@ def test_zip_entries_bomb_hardening(spark):
         .set_index("entry_name")
     )
     assert "bomb.txt" not in out2.index and "ok.txt" in out2.index
+
+
+def _swf_blob(body: bytes, compressed=False, declared=None):
+    import zlib
+
+    declared = 8 + len(body) if declared is None else declared
+    header = (b"CWS" if compressed else b"FWS") + b"\x06" + declared.to_bytes(4, "little")
+    return header + (zlib.compress(body) if compressed else body)
+
+
+def test_swf_extract_container_handling(spark):
+    """FWS and CWS bodies with identical content parse identically
+    (real zlib inflate); truncated declared length, bad magic, and
+    corrupt deflate streams fail the row, not the stage; a compressed
+    bomb is stopped at the inflate cap."""
+    from warps_nutch_spark.operators.parse_plugins import swf_extract
+
+    body = b"Hello SWF movie visit http://swf.test/a.html now"
+    rows = pd.DataFrame(
+        {
+            "url_hash": ["fws", "cws", "trunc", "magic", "garbage", "bomb"],
+            "bytes": [
+                _swf_blob(body),
+                _swf_blob(body, compressed=True),
+                _swf_blob(body, declared=9999),
+                b"XXX\x06" + b"\x00" * 10,
+                b"CWS\x06" + (60).to_bytes(4, "little") + b"not deflate data",
+                _swf_blob(b"\x00" * 200_000, compressed=True),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = (
+        swf_extract(df, max_inflated_bytes=100_000)
+        .toPandas()
+        .set_index("url_hash")
+    )
+    assert bool(out.loc["fws", "swf_ok"]) and bool(out.loc["cws", "swf_ok"])
+    assert out.loc["fws", "text"] == out.loc["cws", "text"] == body.decode()
+    assert list(out.loc["fws", "urls"]) == ["http://swf.test/a.html"]
+    for bad in ("trunc", "magic", "garbage", "bomb"):
+        assert not out.loc[bad, "swf_ok"], bad
+        assert out.loc[bad, "text"] is None

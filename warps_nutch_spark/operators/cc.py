@@ -19,7 +19,9 @@ Each step is one groupBy + one join (two shuffles); the edge set
 converges to stars (child -> component-min root) in O(log^2 n) rounds
 — in practice a handful, since dedup-cluster diameters are tiny. No
 driver-side graph state: the only collected value per round is the
-O(1) convergence fingerprint (count + xxhash64 checksum).
+O(1) convergence fingerprint (count + xxhash64 checksum), and it is
+the SAME job that materializes the round's lazy local checkpoint —
+one action per iteration, no separate convergence pass.
 
 Scale notes (100 TB): each iteration's shuffle is proportional to the
 CURRENT edge set, which never grows beyond the symmetric closure of
@@ -82,15 +84,18 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``, with
     component = min node id of its connected component. Nodes not in
     any pair are absent (callers left-join and coalesce to self)."""
+    # eager=False: the checkpoint materializes inside the fingerprint
+    # aggregation's job, so each iteration runs exactly ONE action
+    # (materialize + converge-check together) instead of two
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = _fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _fingerprint(edges)
         if cur == prev:
             break

@@ -202,3 +202,89 @@ def feed_items_col(xml_col: Column) -> Column:
             ).alias("description"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# parse-swf (plugin/parse-swf/.../SWFParser.java): SWF movies -> text +
+# outlinks. The reference walks the tag stream with javaswf
+# (DefineText/getURL actions); this implementation is regex-level over
+# the INFLATED movie body — the same fidelity tier as parse-js — with
+# the container handling real: FWS (uncompressed) and CWS
+# (zlib-compressed past the 8-byte header, stdlib inflate), the
+# declared-length truncation check (SWFParser.java:72-77 returns
+# FAILED_TRUNCATED on a length mismatch), and text/URL harvest
+# (getParse text + ExtractText.getUrls + OutlinkExtractor over text).
+# Binary decode is per-row Python by necessity -> mapInPandas.
+# ---------------------------------------------------------------------------
+SWF_TEXT_RUN_RE = rb"[\x20-\x7e]{4,}"
+SWF_URL_RE = rb"https?://[^\s\"'<>]+"
+
+
+def swf_extract(
+    df,
+    bytes_col: str = "bytes",
+    id_col: str = "url_hash",
+    max_inflated_bytes: int = 1 << 26,
+):
+    """(id, swf_ok, text, urls) per SWF blob. ``text`` joins the
+    printable runs of the movie body with '\\n' (the regex-level
+    DefineText analog); ``urls`` are the http(s) URLs harvested from
+    the body. Corrupt container / zlib error / truncated declared
+    length -> ``swf_ok = false`` row (ParseStatus.FAILED analog).
+    Inflation is capped at ``max_inflated_bytes`` (untrusted input —
+    a compressed bomb fails the row, never the stage)."""
+    import re
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("swf_ok", T.BooleanType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("urls", T.ArrayType(T.StringType())),
+        ]
+    )
+    run_re = re.compile(SWF_TEXT_RUN_RE)
+    url_re = re.compile(SWF_URL_RE)
+
+    def _one(blob) -> tuple[bool, str | None, list | None]:
+        if blob is None or len(blob) < 8:
+            return False, None, None
+        raw = bytes(blob)
+        magic = raw[:3]
+        declared = int.from_bytes(raw[4:8], "little")
+        if magic == b"FWS":
+            body = raw[8:]
+        elif magic == b"CWS":
+            try:
+                d = zlib.decompressobj()
+                body = d.decompress(raw[8:], max_inflated_bytes)
+                if d.unconsumed_tail:  # inflates past the cap
+                    return False, None, None
+            except zlib.error:
+                return False, None, None
+        else:
+            return False, None, None
+        # declared length = uncompressed size INCLUDING the 8-byte header
+        if declared != 8 + len(body):
+            return False, None, None
+        runs = [r.decode("ascii", "replace") for r in run_re.findall(body)]
+        urls = sorted({u.decode("ascii", "replace") for u in url_re.findall(body)})
+        return True, "\n".join(runs), urls
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                ok, text, urls = _one(blob)
+                rows.append(
+                    {id_col: rid, "swf_ok": ok, "text": text, "urls": urls}
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "swf_ok", "text", "urls"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(_batches, out_schema)

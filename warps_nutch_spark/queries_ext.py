@@ -1527,6 +1527,47 @@ WHERE regexp_matches(outlink, '^https?://')
 
 
 # ===========================================================================
+# parse-swf: SWF movie -> text + harvested URLs (SWFParser.getParse).
+# The query builds valid FWS containers JVM-side (fixed-length body so
+# the 4-byte little-endian declared length is a constant literal) and
+# runs the real container decode; the oracle computes the expected
+# text/urls analytically. CWS (zlib) handling, truncation, and the
+# inflate cap are pytest-pinned (binary synthesis needs Python zlib).
+# ===========================================================================
+def q_parse_swf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_plugins import swf_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("Text "),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(" visit http://swf"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".test/page.html end"),
+    )
+    # body is always 43 bytes -> declared length 8 + 43 = 51 = 0x33 LE
+    blob = F.concat(F.lit(b"FWS\x06\x33\x00\x00\x00"), body.cast("binary"))
+    inp = docs.select(F.col("doc_id").cast("string").alias("doc_id"), blob.alias("bytes"))
+    out = swf_extract(inp, bytes_col="bytes", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "swf_ok",
+        "text",
+        F.array_join(F.col("urls"), "|").alias("urls"),
+    )
+
+
+ORACLE_PARSE_SWF = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  TRUE AS swf_ok,
+  'Text ' || CAST(doc_id % 9 AS VARCHAR) || ' visit http://swf' ||
+    CAST(doc_id % 4 AS VARCHAR) || '.test/page.html end' AS text,
+  'http://swf' || CAST(doc_id % 4 AS VARCHAR) || '.test/page.html' AS urls
+FROM documents
+"""
+
+
+# ===========================================================================
 # feed plugin: RSS items -> one row per entry (link/title/stripped
 # description), synthetic feed built identically in both engines.
 # ===========================================================================
@@ -2092,6 +2133,7 @@ EXT_QUERIES = {
     "embedding_sim_join": q_embedding_sim_join,
     "embedding_sim_join_indexed": q_embedding_sim_join_indexed,
     "js_outlinks": q_js_outlinks,
+    "parse_swf": q_parse_swf,
     "feed_items": q_feed_items,
     "image_dedup_components": q_image_dedup_components,
 }
@@ -2133,6 +2175,7 @@ EXT_ORACLES = {
     # same oracle: the indexed probe must return identical rows
     "embedding_sim_join_indexed": ORACLE_EMBEDDING_SIM_JOIN,
     "js_outlinks": ORACLE_JS_OUTLINKS,
+    "parse_swf": ORACLE_PARSE_SWF,
     "feed_items": ORACLE_FEED_ITEMS,
     "image_dedup_components": _image_dedup_components_sql(),
 }
