@@ -107,9 +107,10 @@ _FRONT = [
     "embedding_ivf_topk",
     # modified this round (index-metadata/index-more fields; pHash n_bands=8)
     "index_documents",
-    # new this round (indexed IVF similarity join; parse-swf)
+    # new this round (indexed IVF similarity join; parse-swf; parse-html)
     "embedding_sim_join_indexed",
     "parse_swf",
+    "parse_html",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

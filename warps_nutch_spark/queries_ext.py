@@ -1568,6 +1568,79 @@ FROM documents
 
 
 # ===========================================================================
+# parse-html: DOM-walk parse (title/text/outlinks/robots-meta) via the
+# stdlib HTMLParser (operators/parse_html.py, DOMContentUtils
+# semantics). The synthetic pages use root-relative and absolute link
+# targets so the oracle replicates resolution with plain origin
+# concatenation (urljoin edge cases are pytest-pinned instead).
+# ===========================================================================
+def q_parse_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_html import html_parse
+
+    fr = derived_frontier(spark, sf_dir)
+    d = F.col("doc_id")
+    meta = F.when(
+        d % 10 == 0,
+        F.lit('<meta name="robots" content="noindex,nofollow">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        (d % 11).cast("string"),
+        F.lit("</title>"),
+        meta,
+        F.lit("</head><body>Hello page "),
+        (d % 5).cast("string"),
+        F.lit(' <a href="/detail/'),
+        (d % 9).cast("string"),
+        F.lit('">go '),
+        (d % 7).cast("string"),
+        F.lit('</a><img src="http://cdn.test/i'),
+        (d % 4).cast("string"),
+        F.lit('.png"><script src="/static/app.js">var hidden = 1;</script>'),
+        F.lit("</body></html>"),
+    )
+    inp = fr.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        html.alias("html"),
+        F.col("url"),
+    )
+    out = html_parse(inp, html_col="html", base_url_col="url", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "title",
+        "text",
+        "noindex",
+        "nofollow",
+        F.array_join(
+            F.transform(
+                F.col("outlinks"),
+                lambda o: F.concat(
+                    o.getField("url"), F.lit("^"), o.getField("anchor")
+                ),
+            ),
+            "|",
+        ).alias("outlinks"),
+    )
+
+
+ORACLE_PARSE_HTML = f"""
+WITH {FRONTIER_SQL}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  'Doc ' || CAST(doc_id % 11 AS VARCHAR) AS title,
+  'Hello page ' || CAST(doc_id % 5 AS VARCHAR) || ' go ' ||
+    CAST(doc_id % 7 AS VARCHAR) AS text,
+  doc_id % 10 = 0 AS noindex,
+  doc_id % 10 = 0 AS nofollow,
+  regexp_extract(url, '^(https?://[^/]+)', 1) || '/detail/' ||
+    CAST(doc_id % 9 AS VARCHAR) || '^go ' || CAST(doc_id % 7 AS VARCHAR) ||
+  '|http://cdn.test/i' || CAST(doc_id % 4 AS VARCHAR) || '.png^' ||
+  '|' || regexp_extract(url, '^(https?://[^/]+)', 1) || '/static/app.js^'
+  AS outlinks
+FROM frontier
+"""
+
+
+# ===========================================================================
 # feed plugin: RSS items -> one row per entry (link/title/stripped
 # description), synthetic feed built identically in both engines.
 # ===========================================================================
@@ -2134,6 +2207,7 @@ EXT_QUERIES = {
     "embedding_sim_join_indexed": q_embedding_sim_join_indexed,
     "js_outlinks": q_js_outlinks,
     "parse_swf": q_parse_swf,
+    "parse_html": q_parse_html,
     "feed_items": q_feed_items,
     "image_dedup_components": q_image_dedup_components,
 }
@@ -2176,6 +2250,7 @@ EXT_ORACLES = {
     "embedding_sim_join_indexed": ORACLE_EMBEDDING_SIM_JOIN,
     "js_outlinks": ORACLE_JS_OUTLINKS,
     "parse_swf": ORACLE_PARSE_SWF,
+    "parse_html": ORACLE_PARSE_HTML,
     "feed_items": ORACLE_FEED_ITEMS,
     "image_dedup_components": _image_dedup_components_sql(),
 }
