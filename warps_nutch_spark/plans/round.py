@@ -92,7 +92,12 @@ class RoundDriver:
             cfg.host_buckets,
             compact_ratio=cfg.frontier_compact_ratio,
         )
-        self.urlseen = BloomUrlSeen(
+        seen_cls = BloomUrlSeen
+        if cfg.urlseen_backend == "cuckoo":
+            from ..store.cuckoo import CuckooUrlSeen
+
+            seen_cls = CuckooUrlSeen
+        self.urlseen = seen_cls(
             os.path.join(workdir, "urlseen"),
             cfg.bloom_partitions,
             cfg.bloom_capacity_per_partition,

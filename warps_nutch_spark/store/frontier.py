@@ -392,11 +392,14 @@ class ParquetFrontierStore(FrontierStore):
         scans all buckets, so the url_hash fallback is merely
         non-colocated, not wrong).
 
-        Bloom interplay: the URL-seen filter cannot unset bits, so a
+        URL-seen interplay: the Bloom backend cannot unset bits, so a
         deleted URL still probes maybe_seen=True — which routes it to
         the exact frontier anti-join, where it correctly shows as new
         and can be re-discovered. No invariant breaks (this is the
-        same path as any Bloom false positive)."""
+        same path as any Bloom false positive). The cuckoo backend
+        (``store/cuckoo.py``, cfg.urlseen_backend="cuckoo") supports
+        true deletion — call its ``delete_round`` with the same keys
+        so the pre-screen's selectivity recovers too."""
         base_v, _ = self._layout()
         schema = self.spark.read.parquet(self._data_dir(base_v)).schema
         has_host = "host" in keys.columns
