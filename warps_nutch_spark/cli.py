@@ -1,0 +1,325 @@
+"""Command-line surface mirroring the reference's ``bin/nutch`` /
+``bin/crawl`` verbs (``src/bin/nutch:28-44``) so a reference user can
+run the same jobs against this engine:
+
+    python -m warps_nutch_spark inject --seeds seeds.txt --workdir crawl/
+    python -m warps_nutch_spark crawl --seeds seeds.txt --workdir crawl/ --rounds 3
+    python -m warps_nutch_spark readdb --workdir crawl/ --stats
+    python -m warps_nutch_spark readdb --workdir crawl/ --dump 20
+    python -m warps_nutch_spark readdb --workdir crawl/ --url http://host0.test/
+    python -m warps_nutch_spark index --workdir crawl/ --out idx/ [--endpoint http://es:9200]
+    python -m warps_nutch_spark parsechecker --url http://host0.test/index.html
+    python -m warps_nutch_spark indexchecker --url http://host0.test/index.html
+
+Verb mapping: inject = InjectJob; crawl = bin/crawl's
+generate→fetch→parse→updatedb rounds (resumable — rerun with the same
+workdir to continue); readdb = ReadDb (--stats / --dump / --url /
+--host, the host variant using the partition-pruned read);
+index = IndexJob over the frontier (parquet dir or ES bulk push);
+parsechecker / indexchecker = the single-URL checker utilities.
+
+The fetch protocol is the deterministic SimWeb simulator configured by
+``--web H,P,SEED`` (no live network in the sandbox); everything else —
+storage, politeness, scoring, indexing — is the production engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_spark(app: str):
+    from pyspark.sql import SparkSession
+
+    os.environ["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + os.environ.get("PYTHONPATH", "")
+    )
+    master = os.environ.get("SPARK_MASTER", "local[*]")
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("WNS_SHUFFLE_PARTITIONS", "32"),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _cfg_from_args(args) -> "object":
+    from .config import CrawlConfig
+
+    kw = {}
+    for field in (
+        "top_n",
+        "max_per_host",
+        "crawl_delay_ms",
+        "host_buckets",
+        "fetch_mode",
+    ):
+        v = getattr(args, field, None)
+        if v is not None:
+            kw[field] = v
+    if getattr(args, "round_time_limit_ms", None) is not None:
+        kw["round_time_limit_ms"] = args.round_time_limit_ms
+    return CrawlConfig(**kw)
+
+
+def _web_params(args) -> tuple[int, int, int]:
+    h, p, s = (int(x) for x in args.web.split(","))
+    return h, p, s
+
+
+def _driver(spark, args):
+    from .plans.round import RoundDriver
+
+    return RoundDriver(spark, args.workdir, _cfg_from_args(args), _web_params(args))
+
+
+def _seeds_df(spark, path: str):
+    return spark.read.text(path).withColumnRenamed("value", "value")
+
+
+def cmd_inject(spark, args) -> int:
+    drv = _driver(spark, args)
+    drv.inject(_seeds_df(spark, args.seeds))
+    n = drv.store.read().count()
+    print(json.dumps({"injected_frontier_rows": n}))
+    return 0
+
+
+def cmd_crawl(spark, args) -> int:
+    drv = _driver(spark, args)
+    stats = drv.run(_seeds_df(spark, args.seeds), rounds=args.rounds)
+    drv.close()
+    for s in stats:
+        print(
+            json.dumps(
+                {k: (round(v, 2) if isinstance(v, float) else v) for k, v in s.items()}
+            )
+        )
+    return 0
+
+
+def cmd_readdb(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    from .store.frontier import ParquetFrontierStore
+
+    store = ParquetFrontierStore(
+        spark, os.path.join(args.workdir, "frontier"), args.host_buckets or 8
+    )
+    if args.url:
+        rows = store.read().filter(F.col("url") == args.url).collect()
+        for r in rows:
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        return 0 if rows else 1
+    if args.host:
+        rows = store.read_host(args.host).collect()  # partition-pruned
+        for r in rows:
+            print(json.dumps({"url": r["url"], "status": r["status"]}))
+        return 0
+    if args.dump:
+        for r in store.read().orderBy("url").limit(args.dump).collect():
+            print(
+                json.dumps(
+                    {
+                        "url": r["url"],
+                        "status": r["status"],
+                        "score": round(float(r["score"] or 0), 4),
+                        "fetch_time": r["fetch_time"],
+                    }
+                )
+            )
+        return 0
+    # --stats (default): ReadDb stats output
+    fr = store.read()
+    by_status = {
+        str(r["status"]): r["n"]
+        for r in fr.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "rows": fr.count(),
+                "by_status": by_status,
+                "version": store.current_version(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_index(spark, args) -> int:
+    from .operators.indexer import (
+        build_index_documents,
+        push_bulk_http,
+        to_bulk_ndjson,
+        write_bulk_files,
+        write_index,
+    )
+    from .store.frontier import ParquetFrontierStore
+
+    store = ParquetFrontierStore(
+        spark, os.path.join(args.workdir, "frontier"), args.host_buckets or 8
+    )
+    docs = build_index_documents(store.read(), batch_id=args.batch)
+    if args.format == "bulk":
+        lines = to_bulk_ndjson(docs, index_name=args.index_name)
+        write_bulk_files(lines, args.out)
+        if args.endpoint:
+            push_bulk_http(lines, args.endpoint)
+    else:
+        write_index(docs, args.out, fmt=args.format)
+    print(json.dumps({"indexed_docs": docs.count(), "out": args.out}))
+    return 0
+
+
+def _check_one_url(spark, args):
+    """Shared fetch+parse for parsechecker/indexchecker."""
+    from pyspark.sql import functions as F
+
+    from .operators import fetch as fetch_op
+    from .operators import parse as parse_op
+    from .operators.rows import complete_rows
+    from .simweb import SimWeb
+
+    cfg = _cfg_from_args(args)
+    web = SimWeb(*_web_params(args))
+    now = 1_700_000_000_000
+    fl = (
+        complete_rows(spark.createDataFrame([(args.url,)], ["url"]), cfg, now)
+        .withColumn("generated_batch", F.lit("check"))
+        .withColumn("batch_id", F.lit("check"))
+    )
+    robots = spark.createDataFrame(web.robots())
+    res = fetch_op.fetch(fl, robots, cfg, now, "check", _web_params(args))
+    return parse_op.parse(res, cfg, "check"), res
+
+
+def cmd_parsechecker(spark, args) -> int:
+    parsed, res = _check_one_url(spark, args)
+    r = res.collect()[0]
+    p = parsed.collect()
+    out = {
+        "url": args.url,
+        "proto_code": r["proto_code"],
+        "status": r["new_status"],
+        "fetched": bool(r["fetched"]),
+    }
+    if p:
+        row = p[0]
+        out.update(
+            {
+                "decode_ok": bool(row["decode_ok"]),
+                "caption": row["caption"],
+                "signature": row["signature"],
+                "outlinks": (row["out_urls"] or [])[:10],
+            }
+        )
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_indexchecker(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.indexer import build_jit_documents
+
+    parsed, _res = _check_one_url(spark, args)
+    docs = build_jit_documents(
+        parsed.withColumn("parsed_batch", F.lit("check")), "check", min_text_length=0
+    ).collect()
+    if not docs:
+        print(json.dumps({"url": args.url, "indexed": False}))
+        return 1
+    print(
+        json.dumps(
+            {k: str(v) for k, v in docs[0].asDict().items() if k != "anchors"},
+            indent=1,
+        )
+    )
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="warps_nutch_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, seeds=False):
+        sp.add_argument("--workdir", required=True)
+        if seeds:
+            sp.add_argument("--seeds", required=True)
+        sp.add_argument("--web", default="8,120,42", help="SimWeb H,P,SEED")
+        sp.add_argument("--top-n", dest="top_n", type=int)
+        sp.add_argument("--max-per-host", dest="max_per_host", type=int)
+        sp.add_argument("--crawl-delay-ms", dest="crawl_delay_ms", type=int)
+        sp.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
+        sp.add_argument("--fetch-mode", dest="fetch_mode")
+        sp.add_argument(
+            "--round-time-limit-ms", dest="round_time_limit_ms", type=int
+        )
+
+    common(sub.add_parser("inject", help="inject new urls into the database"), True)
+    cr = sub.add_parser("crawl", help="run generate->fetch->parse->updatedb rounds")
+    common(cr, True)
+    cr.add_argument("--rounds", type=int, default=1)
+
+    rd = sub.add_parser("readdb", help="read/dump records from the page database")
+    rd.add_argument("--workdir", required=True)
+    rd.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
+    rd.add_argument("--stats", action="store_true")
+    rd.add_argument("--dump", type=int)
+    rd.add_argument("--url")
+    rd.add_argument("--host")
+
+    ix = sub.add_parser("index", help="run the indexer over the frontier")
+    ix.add_argument("--workdir", required=True)
+    ix.add_argument("--out", required=True)
+    ix.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
+    ix.add_argument("--format", choices=["parquet", "json", "bulk"], default="parquet")
+    ix.add_argument("--index-name", dest="index_name", default="nutch")
+    ix.add_argument("--endpoint", default="")
+    ix.add_argument("--batch", default=None)
+
+    for name in ("parsechecker", "indexchecker"):
+        ck = sub.add_parser(name, help=f"{name} for a given url")
+        ck.add_argument("--url", required=True)
+        ck.add_argument("--web", default="8,120,42")
+        ck.add_argument("--workdir", default="/tmp/wns-check")
+
+    return p
+
+
+COMMANDS = {
+    "inject": cmd_inject,
+    "crawl": cmd_crawl,
+    "readdb": cmd_readdb,
+    "index": cmd_index,
+    "parsechecker": cmd_parsechecker,
+    "indexchecker": cmd_indexchecker,
+}
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = make_parser().parse_args(argv)
+    own = spark is None
+    if own:
+        spark = _build_spark(f"wns-{args.command}")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return COMMANDS[args.command](spark, args)
+    finally:
+        if own:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

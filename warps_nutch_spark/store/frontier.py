@@ -482,17 +482,17 @@ class ParquetFrontierStore(FrontierStore):
             if d.startswith("host_bucket=") and os.path.isdir(os.path.join(base_dir, d))
         )
         untouched = [b for b in base_listed if b not in set(touched)]
-        if not untouched:
-            return self._write_snapshot(self.read(), meta, kind="base")
         # resolve MOR only for the touched buckets (partition-pruned
-        # base scan)
+        # base scan). When EVERY bucket is touched this is the full
+        # rewrite — still resolved from the dl union built above (one
+        # delta read + one window), never a second self.read() pass.
         win = Window.partitionBy("url_hash").orderBy(F.desc("_delta_v"))
         latest = (
             dl.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_delta_v")
         )
-        tb = base.filter(F.col("host_bucket").isin(touched))
+        tb = base if not untouched else base.filter(F.col("host_bucket").isin(touched))
         kept = tb.join(latest.select("url_hash"), on="url_hash", how="left_anti")
         live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
         resolved = kept.unionByName(live.select(*tb.columns))
