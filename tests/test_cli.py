@@ -90,3 +90,48 @@ def test_cli_checkers(spark, tmp_path, capsys):
     assert rc in (0, 1) and outs  # doc or explicit not-indexed verdict
     if rc == 0:
         assert "url" in json.loads(outs)
+
+
+def test_cli_hostinject_upsert_and_queue_effect(spark, tmp_path, capsys):
+    """HostInjectorJob text format -> host_config table the politeness
+    queues read; second injection upserts per host; q_cd override
+    actually changes the engine's resolved queue spacing."""
+    wd = str(tmp_path / "hi")
+    os.makedirs(wd, exist_ok=True)
+    f1 = tmp_path / "hosts1.txt"
+    f1.write_text(
+        "http://host0.test/\tq_cd=2500\tq_mt=2\tq_mcd=100\n"
+        "host1.test\tq_cd=7000\tnoequalsskipped\n"
+        "\n"
+    )
+    assert main(["hostinject", "--workdir", wd, "--hosts", str(f1)], spark=spark) == 0
+    assert json.loads(capsys.readouterr().out.strip())["host_config_rows"] == 2
+    cfg_df = spark.read.parquet(os.path.join(wd, "host_config")).toPandas().set_index("host")
+    assert cfg_df.loc["host0.test", "q_cd"] == 2500
+    assert cfg_df.loc["host0.test", "q_mt"] == 2
+    assert cfg_df.loc["host1.test", "q_cd"] == 7000
+    assert cfg_df.loc["host1.test", ["q_mt", "q_mcd"]].isna().all()
+
+    # upsert: host0 re-injected wins, host1 untouched
+    f2 = tmp_path / "hosts2.txt"
+    f2.write_text("host0.test\tq_cd=1234\n")
+    assert main(["hostinject", "--workdir", wd, "--hosts", str(f2)], spark=spark) == 0
+    capsys.readouterr()
+    cfg_df = spark.read.parquet(os.path.join(wd, "host_config")).toPandas().set_index("host")
+    assert cfg_df.loc["host0.test", "q_cd"] == 1234
+    assert cfg_df.loc["host1.test", "q_cd"] == 7000
+
+    # the override reaches the engine's queue-spacing resolution
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.config import make_test_config
+    from warps_nutch_spark.operators.fetch import queue_spacing_cols
+
+    cfg = make_test_config(crawl_delay_ms=1000)
+    hc = spark.read.parquet(os.path.join(wd, "host_config"))
+    delay, _t, spacing = queue_spacing_cols(
+        F.col("q_cd"), F.col("q_mt"), F.col("q_mcd"), F.lit(None).cast("long"), cfg
+    )
+    got = hc.select("host", spacing.alias("spacing")).toPandas().set_index("host")
+    assert got.loc["host0.test", "spacing"] == 1234
+    assert got.loc["host1.test", "spacing"] == 7000

@@ -95,6 +95,51 @@ def cmd_inject(spark, args) -> int:
     return 0
 
 
+def cmd_hostinject(spark, args) -> int:
+    """``hostinject`` verb (``host/HostInjectorJob.java:96-140``):
+    lines of ``url-or-host<TAB>key=value<TAB>...``; pairs without '='
+    are skipped. The ``q_mt`` / ``q_cd`` / ``q_mcd`` metadata keys are
+    the per-host queue settings the fetch engine reads
+    (TasksMonitor.java:480-496) — they land in the workdir's
+    ``host_config`` table the round driver feeds to the politeness
+    queues; newest injection wins per host."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(args.hosts).filter(F.trim("value") != "")
+    parts = F.split(F.col("value"), "\t")
+    host = F.regexp_extract(parts[0], r"^(?:[a-z]+://)?([^/\s]+)", 1)
+    kv = F.map_from_entries(
+        F.transform(
+            F.filter(
+                F.slice(parts, 2, 1_000), lambda s: F.instr(s, "=") > 0
+            ),
+            lambda s: F.struct(
+                F.trim(F.split_part(s, F.lit("="), F.lit(1))).alias("k"),
+                F.trim(F.split_part(s, F.lit("="), F.lit(2))).alias("v"),
+            ),
+        )
+    )
+    new = (
+        raw.select(host.alias("host"), kv.alias("_kv"))
+        .filter(F.col("host") != "")
+        .select(
+            "host",
+            F.try_element_at("_kv", F.lit("q_mt")).cast("int").alias("q_mt"),
+            F.try_element_at("_kv", F.lit("q_cd")).cast("long").alias("q_cd"),
+            F.try_element_at("_kv", F.lit("q_mcd")).cast("long").alias("q_mcd"),
+        )
+        .dropDuplicates(["host"])
+    )
+    out = os.path.join(args.workdir, "host_config")
+    if os.path.isdir(out):
+        old = spark.read.parquet(out).join(new.select("host"), "host", "left_anti")
+        new = old.unionByName(new)
+    rows = new.collect()  # small table by definition (one row per host)
+    spark.createDataFrame(rows, new.schema).write.mode("overwrite").parquet(out)
+    print(json.dumps({"host_config_rows": len(rows)}))
+    return 0
+
+
 def cmd_crawl(spark, args) -> int:
     drv = _driver(spark, args)
     stats = drv.run(_seeds_df(spark, args.seeds), rounds=args.rounds)
@@ -268,6 +313,11 @@ def make_parser() -> argparse.ArgumentParser:
         )
 
     common(sub.add_parser("inject", help="inject new urls into the database"), True)
+    hi = sub.add_parser(
+        "hostinject", help="create/update the host table from a text file"
+    )
+    hi.add_argument("--workdir", required=True)
+    hi.add_argument("--hosts", required=True, help="host<TAB>key=value... lines")
     cr = sub.add_parser("crawl", help="run generate->fetch->parse->updatedb rounds")
     common(cr, True)
     cr.add_argument("--rounds", type=int, default=1)
@@ -300,6 +350,7 @@ def make_parser() -> argparse.ArgumentParser:
 
 COMMANDS = {
     "inject": cmd_inject,
+    "hostinject": cmd_hostinject,
     "crawl": cmd_crawl,
     "readdb": cmd_readdb,
     "index": cmd_index,
