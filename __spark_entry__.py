@@ -111,6 +111,7 @@ _FRONT = [
     "embedding_sim_join_indexed",
     "parse_swf",
     "parse_html",
+    "parse_robots",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

@@ -1527,6 +1527,53 @@ WHERE regexp_matches(outlink, '^https?://')
 
 
 # ===========================================================================
+# robots.txt parsing from RAW content (protocol/RobotRulesParser.java
+# -> crawler-commons SimpleRobotRules; RFC 9309 group selection,
+# specific-agent groups beat '*', Crawl-delay seconds -> ms). Every
+# 7th site publishes no group for our agent, so the '*' group applies.
+# ===========================================================================
+def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.robots import parse_robots_col
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    wns_group = F.when(
+        d % 7 != 0,
+        F.concat(
+            F.lit("User-agent: wns\nCrawl-delay: "),
+            (d % 5).cast("string"),
+            F.lit("\nDisallow: /search\nDisallow: /private/"),
+            (d % 3).cast("string"),
+            F.lit("\nAllow: /search/ok\n\n"),
+        ),
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit("# generated\nUser-agent: otherbot\nDisallow: /\n\n"),
+        wns_group,
+        F.lit("User-agent: *\nDisallow: /all\n"),
+    )
+    inp = docs.select(d.cast("string").alias("host"), text.alias("robots_txt"))
+    out = parse_robots_col(inp, agent="wns")
+    return out.select(
+        "host",
+        F.array_join(F.col("disallow"), "|").alias("disallow"),
+        F.array_join(F.col("allow"), "|").alias("allow"),
+        "crawl_delay_ms",
+    )
+
+
+ORACLE_PARSE_ROBOTS = """
+SELECT CAST(doc_id AS VARCHAR) AS host,
+  CASE WHEN doc_id % 7 <> 0
+       THEN '/search|/private/' || CAST(doc_id % 3 AS VARCHAR)
+       ELSE '/all' END AS disallow,
+  CASE WHEN doc_id % 7 <> 0 THEN '/search/ok' ELSE '' END AS allow,
+  CASE WHEN doc_id % 7 <> 0 THEN doc_id % 5 * 1000 END AS crawl_delay_ms
+FROM documents
+"""
+
+
+# ===========================================================================
 # parse-swf: SWF movie -> text + harvested URLs (SWFParser.getParse).
 # The query builds valid FWS containers JVM-side (fixed-length body so
 # the 4-byte little-endian declared length is a constant literal) and
@@ -2208,6 +2255,7 @@ EXT_QUERIES = {
     "js_outlinks": q_js_outlinks,
     "parse_swf": q_parse_swf,
     "parse_html": q_parse_html,
+    "parse_robots": q_parse_robots,
     "feed_items": q_feed_items,
     "image_dedup_components": q_image_dedup_components,
 }
@@ -2251,6 +2299,7 @@ EXT_ORACLES = {
     "js_outlinks": ORACLE_JS_OUTLINKS,
     "parse_swf": ORACLE_PARSE_SWF,
     "parse_html": ORACLE_PARSE_HTML,
+    "parse_robots": ORACLE_PARSE_ROBOTS,
     "feed_items": ORACLE_FEED_ITEMS,
     "image_dedup_components": _image_dedup_components_sql(),
 }
