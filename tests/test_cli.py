@@ -135,3 +135,40 @@ def test_cli_hostinject_upsert_and_queue_effect(spark, tmp_path, capsys):
     got = hc.select("host", spacing.alias("spacing")).toPandas().set_index("host")
     assert got.loc["host0.test", "spacing"] == 1234
     assert got.loc["host1.test", "spacing"] == 7000
+
+
+def test_cli_clean_deletes_gone_redirect_duplicates(spark, tmp_path, seeds_file, capsys):
+    """CleaningJob semantics end-to-end: after a crawl, clean emits
+    bulk delete actions for gone + permanently-redirected + duplicate
+    docs, and the id set matches the frontier's own state."""
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.functions.status import CrawlStatus
+    from warps_nutch_spark.store.frontier import ParquetFrontierStore
+
+    wd = str(tmp_path / "crawl")
+    assert main(["crawl", *_crawl_args(wd, seeds_file), "--rounds", "2"], spark=spark) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "deletes")
+    assert main(["clean", "--workdir", wd, "--host-buckets", "4", "--out", out], spark=spark) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["deleted"] > 0 and "gone" in res["by_reason"]
+
+    # the emitted delete ids == the frontier's gone/redir_perm rows plus
+    # signature duplicates
+    store = ParquetFrontierStore(spark, os.path.join(wd, "frontier"), 4)
+    fr = store.read()
+    expect_gone = {
+        r["url_hash"]
+        for r in fr.filter(
+            F.col("status").isin(CrawlStatus.GONE, CrawlStatus.REDIR_PERM)
+        ).collect()
+    }
+    emitted = set()
+    for row in spark.read.text(out).collect():
+        for line in row["value"].splitlines():
+            d = json.loads(line)
+            if "delete" in d:
+                emitted.add(d["delete"]["_id"])
+    assert expect_gone <= emitted
+    assert res["deleted"] == len(emitted)

@@ -227,6 +227,37 @@ def cmd_index(spark, args) -> int:
     return 0
 
 
+def cmd_clean(spark, args) -> int:
+    """``clean`` verb (``mapreduce/CleaningJob.java``): delete gone /
+    permanently-redirected / duplicate documents from the index
+    backend (bulk delete actions; optional live push)."""
+    from pyspark.sql import functions as F
+
+    from .operators.indexer import (
+        build_clean_deletes,
+        deletes_bulk_ndjson,
+        push_bulk_http,
+        write_bulk_files,
+    )
+    from .store.frontier import ParquetFrontierStore
+
+    store = ParquetFrontierStore(
+        spark, os.path.join(args.workdir, "frontier"), args.host_buckets or 8
+    )
+    dels = build_clean_deletes(store.read())
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in dels.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    lines = deletes_bulk_ndjson(dels.select("id"), index_name=args.index_name)
+    if args.out:
+        write_bulk_files(lines, args.out)
+    if args.endpoint:
+        push_bulk_http(lines, args.endpoint)
+    print(json.dumps({"deleted": sum(by_reason.values()), "by_reason": by_reason}))
+    return 0
+
+
 def _check_one_url(spark, args):
     """Shared fetch+parse for parsechecker/indexchecker."""
     from pyspark.sql import functions as F
@@ -339,6 +370,15 @@ def make_parser() -> argparse.ArgumentParser:
     ix.add_argument("--endpoint", default="")
     ix.add_argument("--batch", default=None)
 
+    cl = sub.add_parser(
+        "clean", help="remove gone/redirect/duplicate docs from index backends"
+    )
+    cl.add_argument("--workdir", required=True)
+    cl.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
+    cl.add_argument("--out", default="")
+    cl.add_argument("--index-name", dest="index_name", default="nutch")
+    cl.add_argument("--endpoint", default="")
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -354,6 +394,7 @@ COMMANDS = {
     "crawl": cmd_crawl,
     "readdb": cmd_readdb,
     "index": cmd_index,
+    "clean": cmd_clean,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }

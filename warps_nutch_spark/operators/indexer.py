@@ -376,3 +376,40 @@ def to_solr_json(docs: DataFrame, id_col: str = "id") -> DataFrame:
     return docs.select(
         F.to_json(F.struct(*[F.col(c) for c in docs.columns])).alias("line")
     )
+
+
+def build_clean_deletes(frontier: DataFrame) -> DataFrame:
+    """(id, reason) of index documents to DELETE — the CleaningJob
+    (``mapreduce/CleaningJob.java:80,103``: delete pages whose status
+    is GONE or that an indexing-cleaning filter rejects; the bin/nutch
+    help words it "remove HTTP 301 and 404 documents and duplicates"):
+
+    - ``gone``: status GONE (404/robots-denied/permanent failures);
+    - ``redirect``: permanently redirected pages (their content lives
+      at the reprUrl target, the source id must leave the index);
+    - ``duplicate``: FETCHED pages sharing a signature with an earlier
+      canonical page (min url_hash per signature wins, the same
+      keep-rule as the dedup family).
+
+    One DataFrame in, delete actions out — feed
+    :func:`deletes_bulk_ndjson` / :func:`push_bulk_http` for ES or any
+    bulk-capable backend.
+    """
+    gone = frontier.filter(F.col("status") == CrawlStatus.GONE).select(
+        F.col("url_hash").alias("id"), F.lit("gone").alias("reason")
+    )
+    redir = frontier.filter(
+        F.col("status") == CrawlStatus.REDIR_PERM
+    ).select(F.col("url_hash").alias("id"), F.lit("redirect").alias("reason"))
+    from pyspark.sql import Window
+
+    fetched = frontier.filter(
+        (F.col("status") == CrawlStatus.FETCHED) & F.col("signature").isNotNull()
+    )
+    win = Window.partitionBy("signature").orderBy(F.asc("url_hash"))
+    dups = (
+        fetched.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("url_hash").alias("id"), F.lit("duplicate").alias("reason"))
+    )
+    return gone.unionByName(redir).unionByName(dups)
