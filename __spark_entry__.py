@@ -147,12 +147,29 @@ def _rotated(d: dict) -> dict:
     return {k: d[k] for k in front + mid + back}
 
 
+def _with_worker_imports(fn):
+    """Some queries run pandas-UDF closures whose globals cloudpickle
+    resolves by importing warps_nutch_spark ON THE WORKERS. If the
+    harness built its SparkSession before importing this module, the
+    PYTHONPATH export above came too late for the JVM — ship the
+    package via addPyFile once per session instead (no-op when the
+    env path already works)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from warps_nutch_spark.queries import ensure_worker_imports
+
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from warps_nutch_spark.queries import QUERIES
 
     out = dict(QUERIES)
     out["crawl_round"] = _crawl_round
-    return _rotated(out)
+    return {k: _with_worker_imports(fn) for k, fn in _rotated(out).items()}
 
 
 def oracle_sql() -> dict[str, str]:

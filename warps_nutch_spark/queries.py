@@ -32,6 +32,50 @@ from .operators.rows import complete_rows, page_category_col
 CFG = CrawlConfig(top_n=50, max_per_host=5)
 NOW = 1_700_000_000_000
 
+_PYFILE_SESSIONS: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Guarantee executors can ``import warps_nutch_spark`` inside
+    pandas-UDF tasks regardless of how the session was built.
+
+    pytest/bench/__spark_entry__ export PYTHONPATH before the JVM
+    launches, and local-mode python workers inherit the JVM's
+    environment — but a harness that creates its SparkSession BEFORE
+    importing this package leaves workers unable to resolve the
+    cloudpickle by-reference globals of our mapInPandas closures.
+    Shipping the package once per session via ``addPyFile`` (a zip,
+    added to every python worker's sys.path) closes that hole; when
+    PYTHONPATH already works this is a no-op duplicate path."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if id(sc) in _PYFILE_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    newest = 0.0
+    py_files = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                py_files.append(full)
+                newest = max(newest, os.path.getmtime(full))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"wns_pkg_{int(newest)}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            parent = os.path.dirname(pkg_dir)
+            for full in py_files:
+                zf.write(full, os.path.relpath(full, parent))
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    _PYFILE_SESSIONS.add(id(sc))
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
