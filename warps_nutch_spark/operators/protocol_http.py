@@ -1,0 +1,271 @@
+"""protocol-http: fetch ``http://`` URLs via a real socket client.
+
+Reference: ``plugin/protocol-http/.../HttpResponse.java`` +
+``plugin/lib-http/.../HttpBase.java:233-380``:
+
+- HTTP/1.0-style GET with ``Host``, ``Accept``, ``User-Agent``,
+  ``Accept-Encoding: x-gzip, gzip`` and ``If-Modified-Since`` (sent
+  whenever the page carries a modified time — HttpResponse.java:198);
+- plain content read stream-truncated at ``http.content.limit``
+  (readPlainContent caps contentLength at getMaxContent, :305-325),
+  with the TRUE size still reported from the Content-Length header;
+- gzip/x-gzip bodies inflated best-effort and the INFLATED text
+  capped at the same limit (HttpBase.processGzipEncoded:455-479);
+- transport-level failures retried up to ``http.fetch.max.retry``
+  (HttpBase:240-254), then classified: timeout/connect ->
+  CONNECTION_TIMED_OUT, unknown host -> UNKNOWN_HOST, anything else
+  -> EXCEPTION (HttpBase:260-272);
+- response codes mapped exactly like HttpBase.getProtocolOutput
+  (:291-345): 200 SUCCESS; 300/301/305 MOVED; 302/303/307 TEMP_MOVED;
+  304 NOTMODIFIED; 400/410 GONE; 401 ACCESS_DENIED; 404 NOTFOUND;
+  everything else EXCEPTION. Redirect targets resolve the Location
+  header against the request URL (``new URL(u, location)``).
+
+Spark shape: ``mapInPandas`` over the URL batch. Connections are
+reused per (host, port) across a partition's URLs (keep-alive), the
+same session-reuse discipline as protocol-ftp; per-row blocking I/O
+is the legitimate pandas-UDF case (no JVM builtin HTTP client).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.status import HTTP_TO_PROTOCOL, ProtocolStatus
+
+HTTP_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("last_modified_ms", T.LongType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("protocol_status", T.IntegerType()),
+    ]
+)
+
+# HttpBase.getProtocolOutput extras over the shared HTTP_TO_PROTOCOL
+# table: 300/305 are MOVED, 400 is GONE (lib-http HttpBase.java:303-345)
+_CODE_TO_PROTOCOL = dict(HTTP_TO_PROTOCOL)
+_CODE_TO_PROTOCOL.update(
+    {
+        300: ProtocolStatus.MOVED,
+        305: ProtocolStatus.MOVED,
+        400: ProtocolStatus.GONE,
+    }
+)
+
+
+def _protocol_for_code(code: int) -> int:
+    if code in _CODE_TO_PROTOCOL:
+        return _CODE_TO_PROTOCOL[code]
+    if 300 <= code < 400:  # default redirect arm -> MOVED (:314)
+        return ProtocolStatus.MOVED
+    return ProtocolStatus.EXCEPTION
+
+
+def _http_date(ms: int) -> str:
+    from email.utils import formatdate
+
+    return formatdate(ms / 1000.0, usegmt=True)
+
+
+def _parse_http_date_ms(value: str | None) -> int | None:
+    if not value:
+        return None
+    from email.utils import parsedate_to_datetime
+
+    try:
+        return int(parsedate_to_datetime(value).timestamp() * 1000)
+    except (TypeError, ValueError):
+        return None
+
+
+def _gunzip_best_effort(data: bytes, cap: int) -> bytes | None:
+    """GZIPUtils.unzipBestEffort analog: inflate as much as decodes,
+    tolerate a truncated tail, cap the INFLATED size."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = d.decompress(data, cap if cap >= 0 else 0)
+        return out
+    except zlib.error:
+        return None
+
+
+def _read_capped(resp, cap: int) -> bytes:
+    """Stream the body, stop at ``cap`` bytes (readPlainContent's
+    maxContent truncation — never buffer an unbounded response)."""
+    if cap < 0:
+        return resp.read()
+    chunks: list[bytes] = []
+    got = 0
+    while got < cap:
+        b = resp.read(min(65536, cap - got))
+        if not b:
+            break
+        chunks.append(b)
+        got += len(b)
+    return b"".join(chunks)
+
+
+def _fetch_one_http(
+    url: str,
+    modified_ms: int | None,
+    max_content_length: int,
+    user_agent: str,
+    accept: str,
+    timeout_s: float,
+    max_retry: int,
+    sessions: dict,
+) -> dict:
+    import http.client
+    import socket
+
+    out = {
+        "url": url,
+        "code": 0,
+        "content": None,
+        "content_type": None,
+        "content_length": None,
+        "last_modified_ms": None,
+        "location": None,
+        "protocol_status": ProtocolStatus.EXCEPTION,
+    }
+    p = urlparse(url)
+    if p.scheme not in ("http", "https"):
+        return out  # HttpResponse.java:72 unknown scheme -> exception
+    key = (p.scheme, p.hostname, p.port)
+    headers = {
+        "Accept": accept,
+        "Accept-Encoding": "x-gzip, gzip",
+        "User-Agent": user_agent,
+        "Connection": "keep-alive",
+    }
+    if modified_ms is not None:
+        headers["If-Modified-Since"] = _http_date(modified_ms)
+    path = p.path or "/"
+    if p.query:
+        path += "?" + p.query
+
+    last_exc: Exception | None = None
+    for _attempt in range(max(1, max_retry)):
+        conn = sessions.get(key)
+        try:
+            if conn is None:
+                cls = (
+                    http.client.HTTPSConnection
+                    if p.scheme == "https"
+                    else http.client.HTTPConnection
+                )
+                conn = cls(p.hostname, p.port, timeout=timeout_s)
+                sessions[key] = conn
+            conn.request("GET", path, headers=headers)
+            resp = conn.getresponse()
+            cap = max_content_length
+            body = _read_capped(resp, cap)
+            # http.client's resp.length is the REMAINING unread count;
+            # a truncated read leaves a tail that would corrupt
+            # keep-alive -> drop the connection instead of draining
+            if not resp.isclosed() and (resp.length is None or resp.length > 0):
+                conn.close()
+                sessions.pop(key, None)
+            if (resp.getheader("Content-Encoding") or "").lower() in (
+                "gzip",
+                "x-gzip",
+            ):
+                inflated = _gunzip_best_effort(body, cap)
+                if inflated is None:
+                    raise OSError("unzipBestEffort returned null")
+                body = inflated
+            clen = resp.getheader("Content-Length")
+            out["code"] = resp.status
+            out["content"] = body
+            out["content_type"] = resp.getheader("Content-Type")
+            out["content_length"] = (
+                int(clen) if clen and clen.strip().isdigit() else len(body)
+            )
+            out["last_modified_ms"] = _parse_http_date_ms(
+                resp.getheader("Last-Modified")
+            )
+            loc = resp.getheader("Location") or resp.getheader("location")
+            if loc and 300 <= resp.status < 400:
+                out["location"] = urljoin(url, loc)  # new URL(u, location)
+            out["protocol_status"] = _protocol_for_code(resp.status)
+            return out
+        except Exception as e:  # transport error -> retry (HttpBase:249)
+            last_exc = e
+            sessions.pop(key, None)
+            try:
+                if conn is not None:
+                    conn.close()
+            except Exception:
+                pass
+
+    # retries exhausted: classify like HttpBase.java:260-272
+    if isinstance(last_exc, socket.gaierror):
+        out["protocol_status"] = ProtocolStatus.UNKNOWN_HOST
+    elif isinstance(last_exc, (socket.timeout, ConnectionError, OSError)):
+        out["protocol_status"] = ProtocolStatus.TIMEOUT
+    else:
+        out["protocol_status"] = ProtocolStatus.EXCEPTION
+    return out
+
+
+def fetch_http_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    modified_col: str | None = None,
+    max_content_length: int = 65_536,
+    user_agent: str = "WarpsNutchSpark/1.0",
+    accept: str = "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    timeout_s: float = 10.0,
+    max_retry: int = 3,
+) -> DataFrame:
+    """Fetch a DataFrame of ``http(s)://`` URLs -> protocol responses
+    (code, truncated content, true Content-Length, Last-Modified,
+    resolved redirect Location, ProtocolStatus classification).
+    ``modified_col`` (epoch ms) drives ``If-Modified-Since``."""
+    cols = [url_col] + ([modified_col] if modified_col else [])
+    proj = df.select(*cols)
+    mod_name = modified_col
+
+    def _batch(it):
+        sessions: dict = {}
+        try:
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    mod = None
+                    if mod_name is not None and pd.notna(r[mod_name]):
+                        mod = int(r[mod_name])
+                    rows.append(
+                        _fetch_one_http(
+                            r[url_col],
+                            mod,
+                            max_content_length,
+                            user_agent,
+                            accept,
+                            timeout_s,
+                            max_retry,
+                            sessions,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in HTTP_RESPONSE_SCHEMA.fields]
+                )
+        finally:
+            for conn in sessions.values():
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+
+    return proj.mapInPandas(_batch, HTTP_RESPONSE_SCHEMA)
