@@ -112,6 +112,7 @@ _FRONT = [
     "parse_swf",
     "parse_html",
     "parse_robots",
+    "text_outlinks",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

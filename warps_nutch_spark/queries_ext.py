@@ -2217,6 +2217,59 @@ WHERE bit_count(xor(sig_a, sig_b)) <= 6
 """
 
 
+# ===========================================================================
+# parse-ext / generic text outlinks: OutlinkExtractor.getOutlinks
+# (parse/OutlinkExtractor.java:61 URL_PATTERN) — the extractor every
+# text-yielding parser (parse-ext, parse-swf text, plain text) feeds.
+# The query runs the REAL declarative extraction (regexp_extract_all
+# with the reference pattern) over pages synthesized from the colon-
+# free document corpus + known embedded URLs; the oracle states the
+# expected outlinks analytically, so the driver pins the regex's
+# actual match behavior (scheme charset, %-escapes, fragment arm,
+# space termination) rather than comparing two regex engines.
+# ===========================================================================
+def q_text_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_ext import text_outlinks_col
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit("Visit http://site"),
+        (d % 20).cast("string"),
+        F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.lit(" and "),
+        F.col("text"),
+        F.lit(" plus ftp://mirror.example.org/f%2F"),
+        d.cast("string"),
+        F.when(
+            d % 3 == 0, F.concat(F.lit("#sec"), (d % 7).cast("string"))
+        ).otherwise(F.lit("")),
+        F.lit(" or MAILTO:user"),
+        d.cast("string"),
+        F.lit("@example.org end"),
+    )
+    out = docs.select(d.alias("doc_id"), text_outlinks_col(page).alias("links"))
+    return out.select(
+        "doc_id", F.posexplode("links").alias("pos", "outlink")
+    )
+
+
+ORACLE_TEXT_OUTLINKS = """
+SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+  CASE pos
+    WHEN 0 THEN 'http://site' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'ftp://mirror.example.org/f%2F' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+                         ELSE '' END
+    ELSE 'MAILTO:user' || CAST(doc_id AS VARCHAR) || '@example.org'
+  END AS outlink
+FROM documents, (SELECT UNNEST([0, 1, 2]) AS pos)
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2258,6 +2311,7 @@ EXT_QUERIES = {
     "parse_robots": q_parse_robots,
     "feed_items": q_feed_items,
     "image_dedup_components": q_image_dedup_components,
+    "text_outlinks": q_text_outlinks,
 }
 
 EXT_ORACLES = {
@@ -2302,4 +2356,5 @@ EXT_ORACLES = {
     "parse_robots": ORACLE_PARSE_ROBOTS,
     "feed_items": ORACLE_FEED_ITEMS,
     "image_dedup_components": _image_dedup_components_sql(),
+    "text_outlinks": ORACLE_TEXT_OUTLINKS,
 }
