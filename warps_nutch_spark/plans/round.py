@@ -402,6 +402,7 @@ class RoundDriver:
         # -- updatedb ----------------------------------------------------------
         t_u = time.time()
         if not self._done(batch_id, "updatedb"):
+            t_sub = time.time()
             cached: list[DataFrame] = []
             if self._stage_data_ok(batch_id, "updatedb"):
                 # resume after the artifact committed: NEVER recompute —
@@ -458,6 +459,8 @@ class RoundDriver:
                 self.store.stamp_bucketing(
                     os.path.join(self._stage_dir(batch_id, "updatedb"), "data")
                 )
+            stage_times["updatedb.plan_write"] = time.time() - t_sub
+            t_sub = time.time()
             if ("updatedb", batch_id) not in self.store.committed_ops():
                 lineage = {"op": "updatedb", "batch_id": batch_id}
                 try:
@@ -469,11 +472,16 @@ class RoundDriver:
                     # artifact from an older layout (no host_bucket):
                     # fall back to the shuffling merge
                     self.store.merge(merge_rows, lineage)
+            stage_times["updatedb.adopt"] = time.time() - t_sub
+            t_sub = time.time()
             # Bloom OR is idempotent: re-merging the same keys is a no-op
             self.urlseen.merge_round(
                 merge_rows.select("url_hash"), "url_hash", batch_id
             )
+            stage_times["updatedb.urlseen"] = time.time() - t_sub
+            t_sub = time.time()
             self._append_metrics(counters, batch_id, "updatedb")
+            stage_times["updatedb.metrics"] = time.time() - t_sub
             for df in cached:
                 df.unpersist()
             self._mark_done(batch_id, "updatedb")
