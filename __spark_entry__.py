@@ -113,6 +113,7 @@ _FRONT = [
     "parse_html",
     "parse_robots",
     "text_outlinks",
+    "parse_dispatch",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]
@@ -137,6 +138,8 @@ _BACK = [
     "bandwidth_throttle",
     "repr_url",
     "detail_quota",
+    "events_windowed",
+    "embedding_topk",
 ]
 
 

@@ -1,0 +1,371 @@
+"""Parser dispatch: route each fetched row to its content-type parser.
+
+Reference: ``parse/ParserFactory.java`` + ``parse/ParseUtil.java`` +
+``conf/configsets/default/parse-plugins.xml``:
+
+- parse-plugins.xml maps a mimeType to an ORDERED list of parser
+  plugins, with ``*`` as the fallback entry (default parse-tika);
+- ParseUtil.parse (:108-133) asks the factory for the chain and tries
+  each parser in order, returning the FIRST successful parse; if all
+  fail it returns an empty failed parse ("Unable to parse content");
+- an unmapped content type with no ``*`` entry raises ParserNotFound
+  (ParserFactory.getParsers:112-114).
+
+Spark shape: the dispatch is declarative — one filter per mimeType
+group over the input, each parser applied to its slice (column-level
+parsers stay in whole-stage codegen; only html/zip/swf decode drops
+to mapInPandas over the slice), results normalized to one PARSE_RESULT
+schema and unioned. Chain fallback joins the failed ids of parser N
+into parser N+1's input slice, mirroring the first-success loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .parse_ext import URL_PATTERN
+
+OUTLINKS_T = "array<struct<url:string,anchor:string>>"
+
+_OUTLINKS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+PARSE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("parsed_by", T.StringType()),
+        T.StructField("parse_ok", T.BooleanType()),
+        T.StructField("parse_status", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("outlinks", _OUTLINKS_TYPE),
+    ]
+)
+
+# parse-plugins.xml (conf/configsets/default/parse-plugins.xml): the
+# subset of the reference's mapping this engine implements natively.
+# Each value is the ordered parser chain; "*" is the fallback row.
+DEFAULT_PARSE_PLUGINS: dict[str, list[str]] = {
+    "text/html": ["parse-html"],
+    "application/xhtml+xml": ["parse-html"],
+    "text/aspdotnet": ["parse-html"],  # :39-41
+    "application/rss+xml": ["parse-tika", "feed"],  # :43-46
+    "application/atom+xml": ["parse-tika", "feed"],
+    "application/zip": ["parse-zip"],
+    "application/x-gzip": ["parse-zip"],  # :53-56
+    "application/x-bzip2": ["parse-zip"],  # :48-51
+    "application/x-javascript": ["parse-js"],  # :58-60
+    "text/javascript": ["parse-js"],
+    "application/x-shockwave-flash": ["parse-swf"],  # :62-64
+    "*": ["parse-tika"],  # :27-29
+}
+
+
+def _decoded(col):
+    """Bytes -> text, UTF-8 with replacement (the tika/neko charset
+    sniffing tier collapsed to the deterministic common case)."""
+    return F.decode(col, "UTF-8")
+
+
+def _norm(df: DataFrame, parsed_by: str, ok, status, title, text, outlinks):
+    return df.select(
+        "url_hash",
+        "url",
+        "content_type",
+        F.lit(parsed_by).alias("parsed_by"),
+        ok.alias("parse_ok"),
+        status.alias("parse_status"),
+        title.alias("title"),
+        text.alias("text"),
+        outlinks.cast(OUTLINKS_T).alias("outlinks"),
+    )
+
+
+def _run_html(slice_df: DataFrame) -> DataFrame:
+    from .parse_html import html_parse
+
+    src = slice_df.withColumn("_html", _decoded(F.col("bytes")))
+    parsed = html_parse(src, html_col="_html", base_url_col="url")
+    joined = slice_df.join(
+        parsed.select(
+            "url_hash",
+            F.col("title").alias("_t"),
+            F.col("text").alias("_x"),
+            F.col("nofollow").alias("_nf"),
+            F.col("outlinks").alias("_ol"),
+        ),
+        on="url_hash",
+        how="left",
+    )
+    return _norm(
+        joined,
+        "parse-html",
+        F.lit(True),
+        F.lit("success"),
+        F.coalesce("_t", F.lit("")),
+        F.coalesce("_x", F.lit("")),
+        # meta robots nofollow suppresses the page's outlinks
+        # (ParseUtil.processSuccess stores outlinks only when followable)
+        F.when(F.col("_nf"), F.array().cast(OUTLINKS_T)).otherwise(
+            F.coalesce(F.col("_ol"), F.array().cast(OUTLINKS_T))
+        ),
+    )
+
+
+def _run_js(slice_df: DataFrame) -> DataFrame:
+    from .parse_plugins import js_outlinks_col
+
+    src = slice_df.withColumn("_js", _decoded(F.col("bytes")))
+    links = F.transform(
+        js_outlinks_col(F.col("_js"), F.col("url")),
+        lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
+    )
+    return _norm(
+        src,
+        "parse-js",
+        F.col("_js").isNotNull(),
+        F.when(F.col("_js").isNotNull(), F.lit("success")).otherwise(
+            F.lit("failed: undecodable script")
+        ),
+        F.lit(""),
+        F.coalesce("_js", F.lit("")),
+        links,
+    )
+
+
+def _run_feed(slice_df: DataFrame) -> DataFrame:
+    from .parse_plugins import feed_items_col
+
+    src = slice_df.withColumn("_items", feed_items_col(_decoded(F.col("bytes"))))
+    ok = F.size("_items") > 0
+    links = F.transform(
+        F.col("_items"),
+        lambda it: F.struct(
+            it.getField("link").alias("url"),
+            it.getField("title").alias("anchor"),
+        ),
+    )
+    text = F.array_join(
+        F.transform(
+            F.col("_items"),
+            lambda it: F.concat_ws(
+                " ", it.getField("title"), it.getField("description")
+            ),
+        ),
+        "\n",
+    )
+    return _norm(
+        src,
+        "feed",
+        ok,
+        F.when(ok, F.lit("success")).otherwise(F.lit("failed: no feed items")),
+        F.lit(""),
+        text,
+        F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
+    )
+
+
+def _run_zip(slice_df: DataFrame) -> DataFrame:
+    from .multimodal import zip_entries
+
+    entries = zip_entries(slice_df, id_col="url_hash")
+    per_id = entries.groupBy("url_hash").agg(
+        F.max(F.col("zip_ok").cast("int")).cast("boolean").alias("_ok"),
+        # member text joined entry-name-sorted: collect_list order is
+        # not a contract, and the reference's append-in-archive-order
+        # only differs for multi-member archives (ZipTextExtractor
+        # appends each entry's parsed text to the archive's content)
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("entry_name").alias("n"),
+                            _decoded(F.col("entry_bytes")).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: F.coalesce(s.getField("t"), F.lit("")),
+            ),
+            "\n",
+        ).alias("_x"),
+    )
+    joined = slice_df.join(per_id, on="url_hash", how="left")
+    text = F.coalesce("_x", F.lit(""))
+    ok = F.coalesce("_ok", F.lit(False))
+    links = F.transform(
+        F.regexp_extract_all(text, F.lit("(?i)" + URL_PATTERN), 0),
+        lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
+    )
+    return _norm(
+        joined,
+        "parse-zip",
+        ok,
+        F.when(ok, F.lit("success")).otherwise(F.lit("failed: corrupt archive")),
+        F.lit(""),
+        F.when(ok, text).otherwise(F.lit("")),
+        F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
+    )
+
+
+def _run_swf(slice_df: DataFrame) -> DataFrame:
+    from .parse_plugins import swf_extract
+
+    parsed = swf_extract(slice_df, id_col="url_hash")
+    joined = slice_df.join(
+        parsed.select(
+            "url_hash",
+            F.col("swf_ok").alias("_ok"),
+            F.col("text").alias("_x"),
+            F.col("urls").alias("_u"),
+        ),
+        on="url_hash",
+        how="left",
+    )
+    ok = F.coalesce("_ok", F.lit(False))
+    links = F.transform(
+        F.coalesce("_u", F.array().cast("array<string>")),
+        lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
+    )
+    return _norm(
+        joined,
+        "parse-swf",
+        ok,
+        F.when(ok, F.lit("success")).otherwise(F.lit("failed: corrupt movie")),
+        F.lit(""),
+        F.coalesce("_x", F.lit("")),
+        F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
+    )
+
+
+def _run_tika(slice_df: DataFrame) -> DataFrame:
+    """The generic-fallback tier. Real Tika is a JVM library outside
+    this sandbox; the deterministic equivalent implemented here
+    handles the text/* family (decode + URL_PATTERN outlinks) and
+    DECLINES binary types, so a chain configured [parse-tika, feed]
+    falls through exactly like a failing first parser."""
+    is_text = F.col("content_type").startswith("text/")
+    text = F.when(is_text, _decoded(F.col("bytes")))
+    ok = is_text & text.isNotNull()
+    links = F.transform(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit("(?i)" + URL_PATTERN), 0
+        ),
+        lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
+    )
+    return _norm(
+        slice_df,
+        "parse-tika",
+        ok,
+        F.when(ok, F.lit("success")).otherwise(
+            F.lit("failed: unsupported content type")
+        ),
+        F.lit(""),
+        F.coalesce(text, F.lit("")),
+        F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
+    )
+
+
+_BACKENDS = {
+    "parse-html": _run_html,
+    "parse-js": _run_js,
+    "feed": _run_feed,
+    "parse-zip": _run_zip,
+    "parse-swf": _run_swf,
+    "parse-tika": _run_tika,
+}
+
+
+def parse_dispatch(
+    df: DataFrame,
+    plugins: dict[str, list[str]] | None = None,
+    url_col: str = "url",
+    id_col: str = "url_hash",
+    bytes_col: str = "bytes",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """One PARSE_RESULT row per input row, parsed by the first
+    succeeding parser of its content type's configured chain. Unmapped
+    types use the ``"*"`` chain; with no ``"*"`` entry they fail as
+    ``parser not found`` (ParserFactory.getParsers:112-114)."""
+    plugins = DEFAULT_PARSE_PLUGINS if plugins is None else plugins
+    src = df.select(
+        F.col(id_col).alias("url_hash"),
+        F.col(url_col).alias("url"),
+        F.col(content_type_col).alias("content_type"),
+        F.col(bytes_col).alias("bytes"),
+    )
+
+    # group mimeTypes by identical chain so each chain runs once over
+    # one filtered slice (fewer, wider slices -> fewer union branches)
+    chain_groups: dict[tuple[str, ...], list[str]] = {}
+    for mt, chain in plugins.items():
+        if mt != "*":
+            chain_groups.setdefault(tuple(chain), []).append(mt)
+
+    mapped_types = [mt for mts in chain_groups.values() for mt in mts]
+    results: list[DataFrame] = []
+
+    def _run_chain(slice_df: DataFrame, chain: tuple[str, ...]) -> DataFrame:
+        remaining = slice_df
+        out: list[DataFrame] = []
+        for i, name in enumerate(chain):
+            backend = _BACKENDS.get(name)
+            if backend is None:
+                continue
+            parsed = backend(remaining)
+            if i + 1 < len(chain):
+                ok_rows = parsed.filter(F.col("parse_ok"))
+                out.append(ok_rows)
+                remaining = remaining.join(
+                    parsed.filter(~F.col("parse_ok")).select("url_hash"),
+                    on="url_hash",
+                    how="inner",
+                )
+            else:
+                # last parser of the chain reports its own failures
+                # (ParseUtil's "Unable to parse content" empty parse)
+                out.append(parsed)
+        res = out[0]
+        for df_ in out[1:]:
+            res = res.unionByName(df_)
+        return res
+
+    for chain, mts in chain_groups.items():
+        results.append(_run_chain(src.filter(F.col("content_type").isin(mts)), chain))
+
+    fallback = src.filter(
+        ~F.coalesce(F.col("content_type"), F.lit("")).isin(mapped_types)
+    )
+    if "*" in plugins:
+        results.append(_run_chain(fallback, tuple(plugins["*"])))
+    else:
+        results.append(
+            _norm(
+                fallback,
+                "none",
+                F.lit(False),
+                F.concat(
+                    F.lit("failed: parser not found for contentType: "),
+                    F.coalesce("content_type", F.lit("null")),
+                ),
+                F.lit(""),
+                F.lit(""),
+                F.array().cast(OUTLINKS_T),
+            )
+        )
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

@@ -2270,6 +2270,110 @@ FROM documents, (SELECT UNNEST([0, 1, 2]) AS pos)
 """
 
 
+# ===========================================================================
+# parser dispatch (ParserFactory/ParseUtil + parse-plugins.xml): typed
+# payloads synthesized JVM-side (F.encode), routed through the REAL
+# dispatch — html arm runs the stdlib DOM walk on executors, rss arm
+# exercises the [parse-tika, feed] chain fallback, js/tika arms stay
+# declarative, the octet-stream arm hits the '*' decline path. The
+# oracle states every output analytically. zip/swf arms need Python
+# binary synthesis -> pytest (test_parse_dispatch.py).
+# ===========================================================================
+def q_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_dispatch import parse_dispatch
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    arm = d % 5
+    ctype = (
+        F.when(arm == 0, F.lit("text/html"))
+        .when(arm == 1, F.lit("application/rss+xml"))
+        .when(arm == 2, F.lit("application/x-javascript"))
+        .when(arm == 3, F.lit("text/plain"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    body = (
+        F.when(
+            arm == 0,
+            F.concat(
+                F.lit("<html><head><title>D"), ds,
+                F.lit("</title></head><body>w <a href=\"/n"), ds,
+                F.lit("\">go"), ds, F.lit("</a></body></html>"),
+            ),
+        )
+        .when(
+            arm == 1,
+            F.concat(
+                F.lit("<rss><channel><item><link>http://feed.example/"), ds,
+                F.lit("</link><title>A"), ds,
+                F.lit("</title><description>x"), ds,
+                F.lit("</description></item></channel></rss>"),
+            ),
+        )
+        .when(
+            arm == 2,
+            F.concat(F.lit('var u = "http://js.example/p'), ds, F.lit('";')),
+        )
+        .when(
+            arm == 3,
+            F.concat(F.lit("note http://plain.example/q"), ds, F.lit(" end")),
+        )
+        .otherwise(F.lit("binary"))
+    )
+    src = docs.select(
+        ds.alias("url_hash"),
+        F.concat(F.lit("http://h"), (d % 9).cast("string"), F.lit(".example/p/"), ds).alias("url"),
+        ctype.alias("content_type"),
+        F.encode(body, "UTF-8").alias("bytes"),
+    )
+    out = parse_dispatch(src)
+    return out.select(
+        "url_hash",
+        "parsed_by",
+        F.col("parse_ok").alias("ok"),
+        F.col("parse_status").alias("status"),
+        "title",
+        "text",
+        F.try_element_at("outlinks", F.lit(1)).getField("url").alias("link0"),
+        F.try_element_at("outlinks", F.lit(1)).getField("anchor").alias("anchor0"),
+        F.size("outlinks").alias("n_links"),
+    )
+
+
+ORACLE_PARSE_DISPATCH = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, doc_id % 5 AS arm
+  FROM documents
+)
+SELECT ds AS url_hash,
+  CASE WHEN arm = 0 THEN 'parse-html'
+       WHEN arm = 1 THEN 'feed'
+       WHEN arm = 2 THEN 'parse-js'
+       ELSE 'parse-tika' END AS parsed_by,
+  arm <> 4 AS ok,
+  CASE WHEN arm = 4 THEN 'failed: unsupported content type'
+       ELSE 'success' END AS status,
+  CASE WHEN arm = 0 THEN 'D' || ds ELSE '' END AS title,
+  CASE WHEN arm = 0 THEN 'w go' || ds
+       WHEN arm = 1 THEN 'A' || ds || ' x' || ds
+       WHEN arm = 2 THEN 'var u = "http://js.example/p' || ds || '";'
+       WHEN arm = 3 THEN 'note http://plain.example/q' || ds || ' end'
+       ELSE '' END AS text,
+  CASE WHEN arm = 0 THEN 'http://h' || CAST(doc_id % 9 AS VARCHAR) || '.example/n' || ds
+       WHEN arm = 1 THEN 'http://feed.example/' || ds
+       WHEN arm = 2 THEN 'http://js.example/p' || ds
+       WHEN arm = 3 THEN 'http://plain.example/q' || ds
+       END AS link0,
+  CASE WHEN arm = 0 THEN 'go' || ds
+       WHEN arm = 1 THEN 'A' || ds
+       WHEN arm IN (2, 3) THEN ''
+       END AS anchor0,
+  CAST(CASE WHEN arm = 4 THEN 0 ELSE 1 END AS INTEGER) AS n_links
+FROM d
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2312,6 +2416,7 @@ EXT_QUERIES = {
     "feed_items": q_feed_items,
     "image_dedup_components": q_image_dedup_components,
     "text_outlinks": q_text_outlinks,
+    "parse_dispatch": q_parse_dispatch,
 }
 
 EXT_ORACLES = {
@@ -2357,4 +2462,5 @@ EXT_ORACLES = {
     "feed_items": ORACLE_FEED_ITEMS,
     "image_dedup_components": _image_dedup_components_sql(),
     "text_outlinks": ORACLE_TEXT_OUTLINKS,
+    "parse_dispatch": ORACLE_PARSE_DISPATCH,
 }
