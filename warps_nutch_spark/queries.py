@@ -45,8 +45,14 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     importing this package leaves workers unable to resolve the
     cloudpickle by-reference globals of our mapInPandas closures.
     Shipping the package once per session via ``addPyFile`` (a zip,
-    added to every python worker's sys.path) closes that hole; when
-    PYTHONPATH already works this is a no-op duplicate path."""
+    added to every python worker's sys.path) closes that hole.
+
+    The shipment is NOT free: adding a session artifact changes the
+    python-worker environment key, which defeats worker reuse across
+    UDF stages (measured ~40% slower crawl rounds, 821 -> 575
+    urls/s at sf0.1). So probe first — one tiny 2-partition job that
+    tries the import on real workers — and ship only when the
+    inherited PYTHONPATH genuinely cannot resolve the package."""
     import os
     import tempfile
     import zipfile
@@ -54,6 +60,21 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if id(sc) in _PYFILE_SESSIONS:
         return
+
+    def _probe(_it):
+        try:
+            import warps_nutch_spark  # noqa: F401
+
+            yield True
+        except Exception:
+            yield False
+
+    try:
+        if all(sc.parallelize(range(2), 2).mapPartitions(_probe).collect()):
+            _PYFILE_SESSIONS.add(id(sc))
+            return
+    except Exception:
+        pass  # probe itself failing -> ship the package
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     newest = 0.0
     py_files = []
