@@ -114,6 +114,7 @@ _FRONT = [
     "parse_robots",
     "text_outlinks",
     "parse_dispatch",
+    "dedup_deletes",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]
@@ -140,6 +141,7 @@ _BACK = [
     "detail_quota",
     "events_windowed",
     "embedding_topk",
+    "langid",
 ]
 
 

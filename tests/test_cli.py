@@ -172,3 +172,47 @@ def test_cli_clean_deletes_gone_redirect_duplicates(spark, tmp_path, seeds_file,
                 emitted.add(d["delete"]["_id"])
     assert expect_gone <= emitted
     assert res["deleted"] == len(emitted)
+
+
+def test_cli_solrdedup_keeps_best_per_digest(spark, tmp_path, seeds_file, capsys):
+    """SolrDeleteDuplicates semantics end-to-end: after a crawl,
+    solrdedup deletes every FETCHED doc except the highest-boost /
+    latest-tstamp member of each signature group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from warps_nutch_spark.functions.status import CrawlStatus
+    from warps_nutch_spark.store.frontier import ParquetFrontierStore
+
+    wd = str(tmp_path / "crawl")
+    assert main(["crawl", *_crawl_args(wd, seeds_file), "--rounds", "2"], spark=spark) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "dedup-deletes")
+    assert (
+        main(["solrdedup", "--workdir", wd, "--host-buckets", "4", "--out", out], spark=spark)
+        == 0
+    )
+    res = json.loads(capsys.readouterr().out.strip())
+
+    store = ParquetFrontierStore(spark, os.path.join(wd, "frontier"), 4)
+    fetched = store.read().filter(
+        (F.col("status") == CrawlStatus.FETCHED) & F.col("signature").isNotNull()
+    )
+    win = Window.partitionBy("signature").orderBy(
+        F.desc("score"), F.desc("modified_time"), F.asc("url_hash")
+    )
+    expect = {
+        r["url_hash"]
+        for r in fetched.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") > 1)
+        .collect()
+    }
+    assert res["deleted"] == len(expect)
+    if expect:
+        emitted = set()
+        for row in spark.read.text(out).collect():
+            for line in row["value"].splitlines():
+                d = json.loads(line)
+                if "delete" in d:
+                    emitted.add(d["delete"]["_id"])
+        assert emitted == expect

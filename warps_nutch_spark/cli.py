@@ -258,6 +258,43 @@ def cmd_clean(spark, args) -> int:
     return 0
 
 
+def cmd_solrdedup(spark, args) -> int:
+    """``solrdedup`` verb (``mapreduce/SolrDeleteDuplicates.java``):
+    group indexed (FETCHED) docs by content digest, keep the highest
+    boost / latest tstamp, delete every other group member."""
+    from pyspark.sql import functions as F
+
+    from .functions.status import CrawlStatus
+    from .operators.indexer import (
+        deletes_bulk_ndjson,
+        push_bulk_http,
+        solr_dedup_deletes,
+        write_bulk_files,
+    )
+    from .store.frontier import ParquetFrontierStore
+
+    store = ParquetFrontierStore(
+        spark, os.path.join(args.workdir, "frontier"), args.host_buckets or 8
+    )
+    indexed = store.read().filter(F.col("status") == CrawlStatus.FETCHED)
+    dels = solr_dedup_deletes(
+        indexed.select(
+            F.col("url_hash").alias("id"),
+            F.col("signature").alias("digest"),
+            F.col("score").alias("boost"),
+            F.col("modified_time").alias("tstamp"),
+        )
+    )
+    n = dels.count()
+    lines = deletes_bulk_ndjson(dels.select("id"), index_name=args.index_name)
+    if args.out:
+        write_bulk_files(lines, args.out)
+    if args.endpoint:
+        push_bulk_http(lines, args.endpoint)
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
 def _check_one_url(spark, args):
     """Shared fetch+parse for parsechecker/indexchecker."""
     from pyspark.sql import functions as F
@@ -379,6 +416,13 @@ def make_parser() -> argparse.ArgumentParser:
     cl.add_argument("--index-name", dest="index_name", default="nutch")
     cl.add_argument("--endpoint", default="")
 
+    sd = sub.add_parser("solrdedup", help="remove duplicates from the index")
+    sd.add_argument("--workdir", required=True)
+    sd.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
+    sd.add_argument("--out", default="")
+    sd.add_argument("--index-name", dest="index_name", default="nutch")
+    sd.add_argument("--endpoint", default="")
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -395,6 +439,7 @@ COMMANDS = {
     "readdb": cmd_readdb,
     "index": cmd_index,
     "clean": cmd_clean,
+    "solrdedup": cmd_solrdedup,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }

@@ -413,3 +413,39 @@ def build_clean_deletes(frontier: DataFrame) -> DataFrame:
         .select(F.col("url_hash").alias("id"), F.lit("duplicate").alias("reason"))
     )
     return gone.unionByName(redir).unionByName(dups)
+
+
+def solr_dedup_deletes(
+    docs: DataFrame,
+    id_col: str = "id",
+    digest_col: str = "digest",
+    boost_col: str = "boost",
+    tstamp_col: str = "tstamp",
+) -> DataFrame:
+    """Index-deduplication deletes, the SolrDeleteDuplicates job
+    (``mapreduce/SolrDeleteDuplicates.java:391-403``): documents are
+    grouped by content digest; within a group the record with the
+    HIGHEST boost survives, ties broken by the LATEST tstamp (the
+    reference's reduce keeps iteration-first on a full tie — here the
+    residual tie breaks deterministically on the smallest id). Every
+    other group member becomes a deleteById action.
+
+    Scale shape: one window over the digest partition (a single
+    shuffle on the digest key); emit only rank > 1 — the delete set,
+    never the kept set, leaves the stage.
+    """
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(digest_col).orderBy(
+        F.desc(boost_col), F.desc(tstamp_col), F.asc(id_col)
+    )
+    return (
+        docs.filter(F.col(digest_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") > 1)
+        .select(
+            F.col(id_col).alias("id"),
+            F.lit("duplicate").alias("reason"),
+            F.col(digest_col).alias("digest"),
+        )
+    )

@@ -2374,6 +2374,39 @@ FROM d
 """
 
 
+# ===========================================================================
+# SolrDeleteDuplicates (mapreduce/SolrDeleteDuplicates.java:391-403):
+# group index docs by digest, keep highest boost then latest tstamp,
+# delete the rest. One digest-partition window; both engines run the
+# same deterministic ordering (residual ties break on id).
+# ===========================================================================
+def q_dedup_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.indexer import solr_dedup_deletes
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        d.cast("string").alias("id"),
+        (d % 97).cast("string").alias("digest"),
+        (d % 7).cast("double").alias("boost"),
+        (F.lit(1700000000000) + (d % 13) * 1000).alias("tstamp"),
+    )
+    return solr_dedup_deletes(docs)
+
+
+ORACLE_DEDUP_DELETES = """
+SELECT CAST(doc_id AS VARCHAR) AS id, 'duplicate' AS reason,
+       CAST(doc_id % 97 AS VARCHAR) AS digest
+FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    PARTITION BY doc_id % 97
+    ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC,
+             1700000000000 + (doc_id % 13) * 1000 DESC,
+             CAST(doc_id AS VARCHAR) ASC
+  ) AS rn FROM documents
+) WHERE rn > 1
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2417,6 +2450,7 @@ EXT_QUERIES = {
     "image_dedup_components": q_image_dedup_components,
     "text_outlinks": q_text_outlinks,
     "parse_dispatch": q_parse_dispatch,
+    "dedup_deletes": q_dedup_deletes,
 }
 
 EXT_ORACLES = {
@@ -2463,4 +2497,5 @@ EXT_ORACLES = {
     "image_dedup_components": _image_dedup_components_sql(),
     "text_outlinks": ORACLE_TEXT_OUTLINKS,
     "parse_dispatch": ORACLE_PARSE_DISPATCH,
+    "dedup_deletes": ORACLE_DEDUP_DELETES,
 }
