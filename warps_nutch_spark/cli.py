@@ -295,6 +295,29 @@ def cmd_solrdedup(spark, args) -> int:
     return 0
 
 
+def cmd_dmozparser(spark, args) -> int:
+    """``dmozparser`` verb (``tools/DmozParser.java``): parse DMOZ RDF
+    dumps into an inject-ready URL list (non-snippet mode prints the
+    URLs, DmozParser.java:238)."""
+    from .operators.dmoz import dmoz_seeds
+
+    seeds = dmoz_seeds(
+        spark,
+        args.rdf,
+        subset_denom=args.subset_denom,
+        include_adult=args.include_adult,
+        topic_pattern=args.topic or None,
+        skew=args.skew,
+    )
+    if args.out:
+        seeds.select("url").write.mode("overwrite").text(args.out)
+        print(json.dumps({"urls": seeds.count(), "out": args.out}))
+    else:
+        for r in seeds.select("url").collect():
+            print(r["url"])
+    return 0
+
+
 def _check_one_url(spark, args):
     """Shared fetch+parse for parsechecker/indexchecker."""
     from pyspark.sql import functions as F
@@ -423,6 +446,14 @@ def make_parser() -> argparse.ArgumentParser:
     sd.add_argument("--index-name", dest="index_name", default="nutch")
     sd.add_argument("--endpoint", default="")
 
+    dz = sub.add_parser("dmozparser", help="parse DMOZ RDF dumps into seed urls")
+    dz.add_argument("--rdf", required=True)
+    dz.add_argument("--out", default="")
+    dz.add_argument("--subset-denom", dest="subset_denom", type=int, default=1)
+    dz.add_argument("--include-adult", dest="include_adult", action="store_true")
+    dz.add_argument("--topic", default="")
+    dz.add_argument("--skew", type=int, default=0)
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -440,6 +471,7 @@ COMMANDS = {
     "index": cmd_index,
     "clean": cmd_clean,
     "solrdedup": cmd_solrdedup,
+    "dmozparser": cmd_dmozparser,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }
