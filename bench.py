@@ -48,6 +48,31 @@ CRAWL_WEB = (
 CRAWL_ROUNDS = int(os.environ.get("WNS_BENCH_ROUNDS", "3"))
 
 
+def box_noise_probe() -> dict:
+    """Tenant-contention telemetry: load average + a 1-thread numpy
+    matmul (memory-bandwidth-bound; ~0.25-0.8 s on a quiet box, 2-8 s
+    under neighbor contention). Recorded before/after the suite so any
+    bench artifact carries the noise conditions it was measured under
+    (the box bursts to load 10-17 and its single-thread memory
+    bandwidth drops ~5-8x, which is invisible in steal%).
+    """
+    probe: dict = {"load_avg_1m": round(os.getloadavg()[0], 2)}
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.random((1200, 1200))
+        b = rng.random((1200, 1200))
+        a @ b  # warm allocator/BLAS
+        t0 = time.time()
+        for _ in range(3):
+            a @ b
+        probe["matmul_1t_sec"] = round(time.time() - t0, 2)
+    except Exception:
+        probe["matmul_1t_sec"] = None
+    return probe
+
+
 def run_crawl_bench(spark) -> dict:
     from warps_nutch_spark.config import CrawlConfig
     from warps_nutch_spark.plans.round import RoundDriver
@@ -112,6 +137,7 @@ def main() -> None:
         except Exception:
             pass
 
+    noise_pre = box_noise_probe()
     timings: dict[str, float] = {}
     total0 = time.time()
     for name, fn in QUERIES.items():
@@ -125,6 +151,7 @@ def main() -> None:
     crawl = run_crawl_bench(spark)
     timings["crawl_round"] = round(time.time() - t0, 3)
     total = round(time.time() - total0, 3)
+    noise_post = box_noise_probe()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # headline metric = the BASELINE.json crawl throughput; suite
@@ -138,6 +165,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "box_noise": {"pre": noise_pre, "post": noise_post},
         "crawl": {
             "rounds": crawl["rounds"],
             "fetched": crawl["fetched"],
