@@ -115,6 +115,8 @@ _FRONT = [
     "text_outlinks",
     "parse_dispatch",
     "dedup_deletes",
+    "arc_records",
+    "dmoz_seeds",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

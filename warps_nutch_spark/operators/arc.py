@@ -100,18 +100,17 @@ def parse_arc_record(inflated: bytes) -> dict:
     }
 
 
-def read_arc(
-    spark: SparkSession,
-    path: str,
+def arc_records_from_blobs(
+    blobs: DataFrame,
     keep_filedesc: bool = False,
     max_member_bytes: int = 1 << 28,
 ) -> DataFrame:
-    """Read ``.arc.gz`` archives under ``path`` into one row per ARC
-    record. ``keep_filedesc`` retains each file's version block row."""
+    """One row per ARC record from a ``(path: string, content: binary)``
+    DataFrame of whole archive blobs — the shared core of ``read_arc``
+    (binaryFile input) and the in-memory oracle query (synthesized
+    archives); both must agree because this IS the same code path."""
     import pandas as pd
     from pyspark.sql import functions as F
-
-    files = spark.read.format("binaryFile").load(path)
 
     def _records(it):
         cols = [f.name for f in ARC_RECORD_SCHEMA.fields]
@@ -130,9 +129,23 @@ def read_arc(
             out["declared_length"] = out["declared_length"].astype("Int64")
             yield out
 
-    recs = files.select("path", "content").mapInPandas(
+    recs = blobs.select("path", "content").mapInPandas(
         _records, ARC_RECORD_SCHEMA
     )
     if not keep_filedesc:
         recs = recs.filter(~F.coalesce(F.col("is_filedesc"), F.lit(False)))
     return recs
+
+
+def read_arc(
+    spark: SparkSession,
+    path: str,
+    keep_filedesc: bool = False,
+    max_member_bytes: int = 1 << 28,
+) -> DataFrame:
+    """Read ``.arc.gz`` archives under ``path`` into one row per ARC
+    record. ``keep_filedesc`` retains each file's version block row."""
+    files = spark.read.format("binaryFile").load(path)
+    return arc_records_from_blobs(
+        files, keep_filedesc=keep_filedesc, max_member_bytes=max_member_bytes
+    )

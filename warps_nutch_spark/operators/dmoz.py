@@ -106,20 +106,18 @@ def iter_dmoz_pages(
                 elem.clear()
 
 
-def dmoz_seeds(
-    spark: SparkSession,
-    path: str,
+def dmoz_pages_from_blobs(
+    blobs: DataFrame,
     subset_denom: int = 1,
     include_adult: bool = False,
     topic_pattern: str | None = None,
     skew: int = 0,
 ) -> DataFrame:
-    """(url, topic, title, description) rows from RDF dumps under
-    ``path`` — the inject-ready seed table (DmozParser's printed URL
-    list plus the snippet fields)."""
+    """(url, topic, title, description) rows from a ``(content:
+    binary)`` DataFrame of whole RDF dump blobs — the shared core of
+    ``dmoz_seeds`` (binaryFile input) and the in-memory oracle query
+    (synthesized dumps); one streaming iterparse per blob."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path)
 
     def _batches(it):
         cols = [f.name for f in DMOZ_SCHEMA.fields]
@@ -137,4 +135,25 @@ def dmoz_seeds(
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("content").mapInPandas(_batches, DMOZ_SCHEMA)
+    return blobs.select("content").mapInPandas(_batches, DMOZ_SCHEMA)
+
+
+def dmoz_seeds(
+    spark: SparkSession,
+    path: str,
+    subset_denom: int = 1,
+    include_adult: bool = False,
+    topic_pattern: str | None = None,
+    skew: int = 0,
+) -> DataFrame:
+    """(url, topic, title, description) rows from RDF dumps under
+    ``path`` — the inject-ready seed table (DmozParser's printed URL
+    list plus the snippet fields)."""
+    files = spark.read.format("binaryFile").load(path)
+    return dmoz_pages_from_blobs(
+        files,
+        subset_denom=subset_denom,
+        include_adult=include_adult,
+        topic_pattern=topic_pattern,
+        skew=skew,
+    )

@@ -2407,6 +2407,138 @@ FROM (
 """
 
 
+# ===========================================================================
+# ARC web-archive reader (tools/arc/ArcRecordReader.java:43-46,262-287):
+# concatenated per-record gzip members, first inflated line is the
+# `URL IP date mimetype length` header, first record is the filedesc
+# version block. The query synthesizes 8 deterministic archives from
+# the documents table (applyInPandas per archive — gzip-member
+# concatenation), then parses them back through the SAME
+# mapInPandas core read_arc uses (arc_records_from_blobs); the
+# oracle states the expected records analytically.
+# ===========================================================================
+def q_arc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.arc import arc_records_from_blobs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("g")
+    )
+
+    def _build(key, pdf):
+        import gzip
+
+        import pandas as pd
+
+        g = int(key[0])
+        members = [
+            gzip.compress(
+                b"filedesc://arc-%d.arc 0.0.0.0 20240101000000 text/plain 9\nfiledesc\n"
+                % g,
+                mtime=0,
+            )
+        ]
+        for doc_id in sorted(pdf["doc_id"]):
+            doc_id = int(doc_id)
+            mime = ["text/html", "text/plain", "application/octet-stream"][
+                doc_id % 3
+            ]
+            content = f"doc {doc_id} body " + "x" * (doc_id % 50)
+            header = (
+                f"http://arc.example/p/{doc_id} 10.0.{g}.{doc_id % 250} "
+                f"202401010000{doc_id % 60:02d} {mime} {len(content)}"
+            )
+            members.append(
+                gzip.compress((header + "\n" + content).encode(), mtime=0)
+            )
+        return pd.DataFrame(
+            {"path": [f"arc-{g}.arc.gz"], "content": [b"".join(members)]}
+        )
+
+    blobs = docs.groupBy("g").applyInPandas(_build, "path string, content binary")
+    recs = arc_records_from_blobs(blobs)
+    return recs.select(
+        F.regexp_extract("arc_file", r"arc-(\d+)", 1).alias("arc_id"),
+        "record_index",
+        "url",
+        "ip",
+        "fetch_ms",
+        "content_type",
+        "declared_length",
+        F.length("bytes").alias("content_len"),
+        "arc_ok",
+    )
+
+
+ORACLE_ARC_RECORDS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS g, CAST(doc_id AS VARCHAR) AS ds FROM documents
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id) AS rn FROM d
+)
+SELECT CAST(g AS VARCHAR) AS arc_id,
+  CAST(rn AS INTEGER) AS record_index,
+  'http://arc.example/p/' || ds AS url,
+  '10.0.' || CAST(g AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) AS ip,
+  CAST(1704067200000 + (doc_id % 60) * 1000 AS BIGINT) AS fetch_ms,
+  CASE doc_id % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+       ELSE 'application/octet-stream' END AS content_type,
+  CAST(10 + length(ds) + (doc_id % 50) AS BIGINT) AS declared_length,
+  CAST(10 + length(ds) + (doc_id % 50) AS BIGINT) AS content_len,
+  TRUE AS arc_ok
+FROM r
+"""
+
+
+# ===========================================================================
+# DMOZ RDF seed ingestion (tools/DmozParser.java:115-258): Topic r:id
+# sets the section, ExternalPage about= claims a URL under it,
+# Top/Adult sections are skipped, d:Title/d:Description captured.
+# The query synthesizes 4 RDF dumps from the documents table (1 in 11
+# docs filed under Top/Adult) and runs them through the SAME
+# streaming-iterparse core dmoz_seeds uses (dmoz_pages_from_blobs).
+# ===========================================================================
+def q_dmoz_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dmoz import dmoz_pages_from_blobs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("g")
+    )
+
+    def _build(key, pdf):
+        import pandas as pd
+
+        parts = [
+            '<r:RDF xmlns:r="http://www.w3.org/TR/RDF/" '
+            'xmlns:d="http://purl.org/dc/elements/1.0/">'
+        ]
+        for doc_id in sorted(pdf["doc_id"]):
+            doc_id = int(doc_id)
+            topic = (
+                "Top/Adult/X" if doc_id % 11 == 0 else f"Top/Arts/T{doc_id % 5}"
+            )
+            parts.append(f'<Topic r:id="{topic}"></Topic>')
+            parts.append(
+                f'<ExternalPage about="http://dmoz.example/{doc_id}">'
+                f"<d:Title>T{doc_id}</d:Title>"
+                f"<d:Description>D{doc_id}</d:Description>"
+                "</ExternalPage>"
+            )
+        parts.append("</r:RDF>")
+        return pd.DataFrame({"content": ["".join(parts).encode()]})
+
+    blobs = docs.groupBy("g").applyInPandas(_build, "content binary")
+    return dmoz_pages_from_blobs(blobs, include_adult=False)
+
+
+ORACLE_DMOZ_SEEDS = """
+SELECT 'http://dmoz.example/' || CAST(doc_id AS VARCHAR) AS url,
+  'Top/Arts/T' || CAST(doc_id % 5 AS VARCHAR) AS topic,
+  'T' || CAST(doc_id AS VARCHAR) AS title,
+  'D' || CAST(doc_id AS VARCHAR) AS description
+FROM documents WHERE doc_id % 11 <> 0
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2451,6 +2583,8 @@ EXT_QUERIES = {
     "text_outlinks": q_text_outlinks,
     "parse_dispatch": q_parse_dispatch,
     "dedup_deletes": q_dedup_deletes,
+    "arc_records": q_arc_records,
+    "dmoz_seeds": q_dmoz_seeds,
 }
 
 EXT_ORACLES = {
@@ -2498,4 +2632,6 @@ EXT_ORACLES = {
     "text_outlinks": ORACLE_TEXT_OUTLINKS,
     "parse_dispatch": ORACLE_PARSE_DISPATCH,
     "dedup_deletes": ORACLE_DEDUP_DELETES,
+    "arc_records": ORACLE_ARC_RECORDS,
+    "dmoz_seeds": ORACLE_DMOZ_SEEDS,
 }
