@@ -117,6 +117,7 @@ _FRONT = [
     "dedup_deletes",
     "arc_records",
     "dmoz_seeds",
+    "parse_pdf",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

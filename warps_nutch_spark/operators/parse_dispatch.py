@@ -252,8 +252,13 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
     """The generic-fallback tier. Real Tika is a JVM library outside
     this sandbox; the deterministic equivalent implemented here
     handles the text/* family (decode + URL_PATTERN outlinks) and
-    DECLINES binary types, so a chain configured [parse-tika, feed]
-    falls through exactly like a failing first parser."""
+    application/pdf (parse_pdf — the mapInPandas drop happens on the
+    pdf slice ONLY), and DECLINES other binary types, so a chain
+    configured [parse-tika, feed] falls through exactly like a
+    failing first parser."""
+    is_pdf = F.col("content_type").isin("application/pdf", "application/x-pdf")
+
+    gen = slice_df.filter(~is_pdf)
     is_text = F.col("content_type").startswith("text/")
     text = F.when(is_text, _decoded(F.col("bytes")))
     ok = is_text & text.isNotNull()
@@ -263,8 +268,8 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
         ),
         lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
     )
-    return _norm(
-        slice_df,
+    out = _norm(
+        gen,
         "parse-tika",
         ok,
         F.when(ok, F.lit("success")).otherwise(
@@ -274,6 +279,38 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
         F.coalesce(text, F.lit("")),
         F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
     )
+
+    pdfs = slice_df.filter(is_pdf)
+    from .parse_pdf import pdf_parse_rows
+
+    parsed = pdf_parse_rows(pdfs, id_col="url_hash")
+    joined = pdfs.join(
+        parsed.select(
+            "url_hash",
+            F.col("pdf_ok").alias("_ok"),
+            F.col("pdf_status").alias("_st"),
+            F.col("title").alias("_t"),
+            F.col("text").alias("_x"),
+            F.col("uris").alias("_u"),
+        ),
+        on="url_hash",
+        how="left",
+    )
+    pok = F.coalesce("_ok", F.lit(False))
+    plinks = F.transform(
+        F.coalesce("_u", F.array().cast("array<string>")),
+        lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
+    )
+    pdf_out = _norm(
+        joined,
+        "parse-tika",
+        pok,
+        F.coalesce("_st", F.lit("failed: not a pdf document")),
+        F.coalesce("_t", F.lit("")),
+        F.coalesce("_x", F.lit("")),
+        plinks,
+    )
+    return out.unionByName(pdf_out)
 
 
 _BACKENDS = {

@@ -2539,6 +2539,104 @@ FROM documents WHERE doc_id % 11 <> 0
 """
 
 
+# ===========================================================================
+# parse-tika PDF tier (plugin/parse-tika, TestPdfParser.java: the
+# parse text of application/pdf content must contain the page text).
+# Four arms synthesized with the deterministic writer (make_pdf) and
+# routed through the REAL dispatch ('*' chain -> parse-tika -> pdf
+# slice mapInPandas): FlateDecode, uncompressed, encrypted-decline,
+# and not-a-pdf. The oracle states every output analytically.
+# ===========================================================================
+def q_parse_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_dispatch import parse_dispatch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _build(it):
+        import pandas as pd
+
+        from warps_nutch_spark.operators.parse_pdf import make_pdf
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ds = str(doc_id)
+                arm = doc_id % 4
+                if arm == 0:
+                    blob = make_pdf(
+                        [f"doc {ds} alpha", f"beta {ds}"],
+                        title=f"T{ds}",
+                        uris=(f"http://pdf.example/a/{ds}",),
+                    )
+                elif arm == 1:
+                    blob = make_pdf(
+                        [f"plain {ds}"],
+                        uris=(
+                            f"http://pdf.example/b/{ds}",
+                            f"http://pdf.example/c/{ds}",
+                        ),
+                        compress=False,
+                    )
+                elif arm == 2:
+                    blob = (
+                        make_pdf([f"secret {ds}"])
+                        + b"trailer\n<< /Encrypt 9 0 R >>\n"
+                    )
+                else:
+                    blob = b"GIF89a not a pdf " + ds.encode()
+                rows.append(
+                    (
+                        ds,
+                        f"http://pdfhost{doc_id % 5}.example/d/{ds}.pdf",
+                        "application/pdf",
+                        blob,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url_hash", "url", "content_type", "bytes"]
+            )
+
+    src = docs.mapInPandas(
+        _build, "url_hash string, url string, content_type string, bytes binary"
+    )
+    out = parse_dispatch(src)
+    return out.select(
+        "url_hash",
+        "parsed_by",
+        F.col("parse_ok").alias("ok"),
+        F.col("parse_status").alias("status"),
+        "title",
+        "text",
+        F.try_element_at("outlinks", F.lit(1)).getField("url").alias("link0"),
+        F.size("outlinks").alias("n_links"),
+    )
+
+
+ORACLE_PARSE_PDF = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, doc_id % 4 AS arm
+  FROM documents
+)
+SELECT ds AS url_hash,
+  'parse-tika' AS parsed_by,
+  arm < 2 AS ok,
+  CASE WHEN arm < 2 THEN 'success'
+       WHEN arm = 2 THEN 'failed: encrypted pdf declined'
+       ELSE 'failed: not a pdf document' END AS status,
+  CASE WHEN arm = 0 THEN 'T' || ds ELSE '' END AS title,
+  CASE WHEN arm = 0 THEN 'doc ' || ds || ' alpha' || chr(10) || 'beta ' || ds
+       WHEN arm = 1 THEN 'plain ' || ds
+       ELSE '' END AS text,
+  CASE WHEN arm = 0 THEN 'http://pdf.example/a/' || ds
+       WHEN arm = 1 THEN 'http://pdf.example/b/' || ds
+       END AS link0,
+  CAST(CASE WHEN arm = 0 THEN 1 WHEN arm = 1 THEN 2 ELSE 0 END
+       AS INTEGER) AS n_links
+FROM d
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2585,6 +2683,7 @@ EXT_QUERIES = {
     "dedup_deletes": q_dedup_deletes,
     "arc_records": q_arc_records,
     "dmoz_seeds": q_dmoz_seeds,
+    "parse_pdf": q_parse_pdf,
 }
 
 EXT_ORACLES = {
@@ -2634,4 +2733,5 @@ EXT_ORACLES = {
     "dedup_deletes": ORACLE_DEDUP_DELETES,
     "arc_records": ORACLE_ARC_RECORDS,
     "dmoz_seeds": ORACLE_DMOZ_SEEDS,
+    "parse_pdf": ORACLE_PARSE_PDF,
 }
