@@ -118,6 +118,7 @@ _FRONT = [
     "arc_records",
     "dmoz_seeds",
     "parse_pdf",
+    "parse_office",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

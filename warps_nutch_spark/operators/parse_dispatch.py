@@ -49,6 +49,9 @@ PARSE_RESULT_SCHEMA = T.StructType(
         T.StructField("title", T.StringType()),
         T.StructField("text", T.StringType()),
         T.StructField("outlinks", _OUTLINKS_TYPE),
+        # parser-contributed page metadata (e.g. image width/height —
+        # TestImageMetadata.java); empty for parsers that emit none
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -77,7 +80,11 @@ def _decoded(col):
     return F.decode(col, "UTF-8")
 
 
-def _norm(df: DataFrame, parsed_by: str, ok, status, title, text, outlinks):
+def _norm(df: DataFrame, parsed_by: str, ok, status, title, text, outlinks, meta=None):
+    if meta is None:
+        meta = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
     return df.select(
         "url_hash",
         "url",
@@ -88,6 +95,7 @@ def _norm(df: DataFrame, parsed_by: str, ok, status, title, text, outlinks):
         title.alias("title"),
         text.alias("text"),
         outlinks.cast(OUTLINKS_T).alias("outlinks"),
+        meta.cast("map<string,string>").alias("meta"),
     )
 
 
@@ -256,9 +264,14 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
     pdf slice ONLY), and DECLINES other binary types, so a chain
     configured [parse-tika, feed] falls through exactly like a
     failing first parser."""
-    is_pdf = F.col("content_type").isin("application/pdf", "application/x-pdf")
+    from .parse_office import IMAGE_TYPES, ODF_TYPES, RTF_TYPES
 
-    gen = slice_df.filter(~is_pdf)
+    is_pdf = F.col("content_type").isin("application/pdf", "application/x-pdf")
+    is_office = F.col("content_type").isin(
+        *ODF_TYPES, *RTF_TYPES, *IMAGE_TYPES
+    )
+
+    gen = slice_df.filter(~is_pdf & ~is_office)
     is_text = F.col("content_type").startswith("text/")
     text = F.when(is_text, _decoded(F.col("bytes")))
     ok = is_text & text.isNotNull()
@@ -310,7 +323,41 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
         F.coalesce("_x", F.lit("")),
         plinks,
     )
-    return out.unionByName(pdf_out)
+
+    office = slice_df.filter(is_office)
+    from .parse_office import office_parse_rows
+
+    oparsed = office_parse_rows(office, id_col="url_hash")
+    ojoined = office.join(
+        oparsed.select(
+            "url_hash",
+            F.col("office_ok").alias("_ok"),
+            F.col("office_status").alias("_st"),
+            F.col("title").alias("_t"),
+            F.col("text").alias("_x"),
+            F.col("meta").alias("_m"),
+        ),
+        on="url_hash",
+        how="left",
+    )
+    ook = F.coalesce("_ok", F.lit(False))
+    office_out = _norm(
+        ojoined,
+        "parse-tika",
+        ook,
+        F.coalesce("_st", F.lit("failed: unsupported content type")),
+        F.coalesce("_t", F.lit("")),
+        F.coalesce("_x", F.lit("")),
+        F.array().cast(OUTLINKS_T),
+        meta=F.coalesce(
+            F.col("_m"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<string>"),
+            ),
+        ),
+    )
+    return out.unionByName(pdf_out).unionByName(office_out)
 
 
 _BACKENDS = {

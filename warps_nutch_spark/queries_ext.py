@@ -2637,6 +2637,110 @@ FROM d
 """
 
 
+# ===========================================================================
+# parse-tika office/image tier (TestOOParser.java: odt/sxw parse to
+# the sample paragraph text; TestRTFParser.java: title from
+# {\\info{\\title ...}} + plain text; TestImageMetadata.java:
+# width/height page metadata from the image header). Six arms
+# synthesized with the deterministic writers, routed through the REAL
+# dispatch ('*' chain -> parse-tika -> office slice mapInPandas).
+# ===========================================================================
+def q_parse_office(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_dispatch import parse_dispatch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _build(it):
+        import pandas as pd
+
+        from warps_nutch_spark.operators.parse_office import (
+            make_gif_header,
+            make_jpeg_header,
+            make_odt,
+            make_png_header,
+            make_rtf,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ds = str(doc_id)
+                arm = doc_id % 6
+                w, h = 100 + doc_id % 900, 50 + doc_id % 700
+                if arm == 0:
+                    ctype = "application/vnd.oasis.opendocument.text"
+                    blob = make_odt(
+                        [f"odt {ds} first", f"odt {ds} second"],
+                        title=f"OT{ds}",
+                    )
+                elif arm == 1:
+                    ctype = "application/vnd.sun.xml.writer"
+                    blob = make_odt(
+                        [f"sxw {ds} body"],
+                        mimetype=ctype,
+                    )
+                elif arm == 2:
+                    ctype = "application/rtf"
+                    blob = make_rtf(
+                        [f"rtf {ds} quick", f"brown {ds}"],
+                        title=f"RT{ds}",
+                    )
+                elif arm == 3:
+                    ctype = "image/gif"
+                    blob = make_gif_header(w, h)
+                elif arm == 4:
+                    ctype = "image/png"
+                    blob = make_png_header(w, h)
+                else:
+                    ctype = "image/jpeg"
+                    blob = make_jpeg_header(w, h)
+                rows.append(
+                    (ds, f"http://oh{doc_id % 5}.example/o/{ds}", ctype, blob)
+                )
+            yield pd.DataFrame(
+                rows, columns=["url_hash", "url", "content_type", "bytes"]
+            )
+
+    src = docs.mapInPandas(
+        _build, "url_hash string, url string, content_type string, bytes binary"
+    )
+    out = parse_dispatch(src)
+    return out.select(
+        "url_hash",
+        "parsed_by",
+        F.col("parse_ok").alias("ok"),
+        F.col("parse_status").alias("status"),
+        "title",
+        "text",
+        F.col("meta").getItem("width").cast("int").alias("width"),
+        F.col("meta").getItem("height").cast("int").alias("height"),
+    )
+
+
+ORACLE_PARSE_OFFICE = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, doc_id % 6 AS arm,
+         100 + doc_id % 900 AS w, 50 + doc_id % 700 AS h
+  FROM documents
+)
+SELECT ds AS url_hash,
+  'parse-tika' AS parsed_by,
+  TRUE AS ok,
+  'success' AS status,
+  CASE WHEN arm = 0 THEN 'OT' || ds
+       WHEN arm = 2 THEN 'RT' || ds
+       ELSE '' END AS title,
+  CASE WHEN arm = 0 THEN 'odt ' || ds || ' first' || chr(10) || 'odt ' || ds || ' second'
+       WHEN arm = 1 THEN 'sxw ' || ds || ' body'
+       WHEN arm = 2 THEN 'rtf ' || ds || ' quick' || chr(10) || 'brown ' || ds
+       ELSE '' END AS text,
+  CASE WHEN arm >= 3 THEN CAST(w AS INTEGER) END AS width,
+  CASE WHEN arm >= 3 THEN CAST(h AS INTEGER) END AS height
+FROM d
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2684,6 +2788,7 @@ EXT_QUERIES = {
     "arc_records": q_arc_records,
     "dmoz_seeds": q_dmoz_seeds,
     "parse_pdf": q_parse_pdf,
+    "parse_office": q_parse_office,
 }
 
 EXT_ORACLES = {
@@ -2734,4 +2839,5 @@ EXT_ORACLES = {
     "arc_records": ORACLE_ARC_RECORDS,
     "dmoz_seeds": ORACLE_DMOZ_SEEDS,
     "parse_pdf": ORACLE_PARSE_PDF,
+    "parse_office": ORACLE_PARSE_OFFICE,
 }
