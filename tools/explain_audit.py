@@ -285,6 +285,33 @@ def main():
         ("parse_metatags", "no Exchange (pure array-domain)", "Exchange" not in meta_plan)
     )
 
+    # 10. round-4 tika tier: pdf/office arms are filter -> mapInPandas
+    # (passthrough columns, no join back onto the slice) unioned with
+    # the declarative text arm — the whole tier must be exchange-free
+    from warps_nutch_spark.operators.parse_dispatch import parse_dispatch
+
+    tika_src = spark.createDataFrame(
+        [
+            ("a", "http://x/a.pdf", "application/pdf", b"%PDF-1.4"),
+            ("b", "http://x/b.txt", "text/plain", b"t"),
+            ("c", "http://x/c.rtf", "application/rtf", b"{\\rtf1 x}"),
+            ("d", "http://x/d.gif", "image/gif", b"GIF89a"),
+        ],
+        "url_hash string, url string, content_type string, bytes binary",
+    )
+    tika_plan = formatted(parse_dispatch(tika_src, plugins={"*": ["parse-tika"]}))
+    sections.append(("parse_tika_tier", tika_plan))
+    checks.append(
+        (
+            "parse_tika_tier",
+            "no Exchange (slice mapInPandas with passthrough, no join-back)",
+            "Exchange" not in tika_plan,
+        )
+    )
+    checks.append(
+        ("parse_tika_tier", "contains MapInPandas", "MapInPandas" in tika_plan)
+    )
+
     out = ["# PLANS — physical-plan audit\n"]
     out.append("| plan | check | ok |\n|---|---|---|\n")
     for name, check, ok in checks:

@@ -293,69 +293,46 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
         F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
     )
 
-    pdfs = slice_df.filter(is_pdf)
+    # pdf/office arms: url + content_type ride THROUGH the pandas
+    # batch (passthrough), so each arm is filter -> mapInPandas ->
+    # project — one output row per input row, no join back onto the
+    # slice, no Exchange anywhere in the tika tier.
+    from .parse_office import office_parse_rows
     from .parse_pdf import pdf_parse_rows
 
-    parsed = pdf_parse_rows(pdfs, id_col="url_hash")
-    joined = pdfs.join(
-        parsed.select(
-            "url_hash",
-            F.col("pdf_ok").alias("_ok"),
-            F.col("pdf_status").alias("_st"),
-            F.col("title").alias("_t"),
-            F.col("text").alias("_x"),
-            F.col("uris").alias("_u"),
-        ),
-        on="url_hash",
-        how="left",
+    parsed = pdf_parse_rows(
+        slice_df.filter(is_pdf),
+        id_col="url_hash",
+        passthrough=("url", "content_type"),
     )
-    pok = F.coalesce("_ok", F.lit(False))
     plinks = F.transform(
-        F.coalesce("_u", F.array().cast("array<string>")),
+        F.col("uris"),
         lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
     )
     pdf_out = _norm(
-        joined,
+        parsed,
         "parse-tika",
-        pok,
-        F.coalesce("_st", F.lit("failed: not a pdf document")),
-        F.coalesce("_t", F.lit("")),
-        F.coalesce("_x", F.lit("")),
+        F.col("pdf_ok"),
+        F.col("pdf_status"),
+        F.col("title"),
+        F.col("text"),
         plinks,
     )
 
-    office = slice_df.filter(is_office)
-    from .parse_office import office_parse_rows
-
-    oparsed = office_parse_rows(office, id_col="url_hash")
-    ojoined = office.join(
-        oparsed.select(
-            "url_hash",
-            F.col("office_ok").alias("_ok"),
-            F.col("office_status").alias("_st"),
-            F.col("title").alias("_t"),
-            F.col("text").alias("_x"),
-            F.col("meta").alias("_m"),
-        ),
-        on="url_hash",
-        how="left",
+    oparsed = office_parse_rows(
+        slice_df.filter(is_office),
+        id_col="url_hash",
+        passthrough=("url", "content_type"),
     )
-    ook = F.coalesce("_ok", F.lit(False))
     office_out = _norm(
-        ojoined,
+        oparsed,
         "parse-tika",
-        ook,
-        F.coalesce("_st", F.lit("failed: unsupported content type")),
-        F.coalesce("_t", F.lit("")),
-        F.coalesce("_x", F.lit("")),
+        F.col("office_ok"),
+        F.col("office_status"),
+        F.col("title"),
+        F.col("text"),
         F.array().cast(OUTLINKS_T),
-        meta=F.coalesce(
-            F.col("_m"),
-            F.map_from_arrays(
-                F.array().cast("array<string>"),
-                F.array().cast("array<string>"),
-            ),
-        ),
+        meta=F.col("meta"),
     )
     return out.unionByName(pdf_out).unionByName(office_out)
 

@@ -304,15 +304,16 @@ ODF_TYPES = (
 RTF_TYPES = ("application/rtf", "text/rtf")
 IMAGE_TYPES = ("image/gif", "image/png", "image/jpeg")
 
+_OFFICE_FIELDS = [
+    T.StructField("office_ok", T.BooleanType()),
+    T.StructField("office_status", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+]
+
 OFFICE_PARSE_SCHEMA = T.StructType(
-    [
-        T.StructField("url_hash", T.StringType()),
-        T.StructField("office_ok", T.BooleanType()),
-        T.StructField("office_status", T.StringType()),
-        T.StructField("title", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
-    ]
+    [T.StructField("url_hash", T.StringType()), *_OFFICE_FIELDS]
 )
 
 
@@ -321,18 +322,27 @@ def office_parse_rows(
     id_col: str = "url_hash",
     bytes_col: str = "bytes",
     content_type_col: str = "content_type",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, ok, status, title, text, meta) per ODF/RTF/image row —
-    Arrow-batched; only the office slice of a dispatch reaches this."""
+    """(id, *passthrough, ok, status, title, text, meta) per
+    ODF/RTF/image row — Arrow-batched; only the office slice of a
+    dispatch reaches this. ``passthrough`` columns ride through the
+    batch so the caller needs no join back onto the slice."""
     import pandas as pd
 
+    schema = T.StructType(
+        [T.StructField(id_col, T.StringType())]
+        + [T.StructField(c, slice_df.schema[c].dataType) for c in passthrough]
+        + _OFFICE_FIELDS
+    )
+    cols = [f.name for f in schema.fields]
+
     def _parse(it):
-        cols = [f.name for f in OFFICE_PARSE_SCHEMA.fields]
         for pdf in it:
             recs = []
-            for rid, ctype, blob in zip(
-                pdf[id_col], pdf[content_type_col], pdf[bytes_col]
-            ):
+            for row in pdf.itertuples(index=False):
+                ctype = getattr(row, content_type_col)
+                blob = getattr(row, bytes_col)
                 blob = bytes(blob) if blob is not None else b""
                 meta: dict[str, str] = {}
                 if ctype in ODF_TYPES:
@@ -346,20 +356,21 @@ def office_parse_rows(
                     else:
                         r = {"ok": True, "status": "success", "title": "", "text": ""}
                         meta = {"width": str(dims[0]), "height": str(dims[1])}
-                recs.append(
-                    {
-                        "url_hash": rid,
-                        "office_ok": r["ok"],
-                        "office_status": r["status"],
-                        "title": r["title"],
-                        "text": r["text"],
-                        "meta": meta,
-                    }
-                )
+                rec = {
+                    id_col: getattr(row, id_col),
+                    "office_ok": r["ok"],
+                    "office_status": r["status"],
+                    "title": r["title"],
+                    "text": r["text"],
+                    "meta": meta,
+                }
+                for c in passthrough:
+                    rec[c] = getattr(row, c)
+                recs.append(rec)
             yield pd.DataFrame(recs, columns=cols)
 
-    return slice_df.select(
-        slice_df[id_col].alias(id_col),
-        slice_df[content_type_col].alias(content_type_col),
-        slice_df[bytes_col].alias(bytes_col),
-    ).mapInPandas(_parse, OFFICE_PARSE_SCHEMA)
+    sel = [id_col, *passthrough]
+    if content_type_col not in sel:
+        sel.append(content_type_col)
+    sel.append(bytes_col)
+    return slice_df.select(*sel).mapInPandas(_parse, schema)

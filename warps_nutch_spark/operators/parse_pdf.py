@@ -278,15 +278,16 @@ def make_pdf(
 # Spark wrapper
 # ---------------------------------------------------------------------------
 
+_PDF_FIELDS = [
+    T.StructField("pdf_ok", T.BooleanType()),
+    T.StructField("pdf_status", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("uris", T.ArrayType(T.StringType())),
+]
+
 PDF_PARSE_SCHEMA = T.StructType(
-    [
-        T.StructField("url_hash", T.StringType()),
-        T.StructField("pdf_ok", T.BooleanType()),
-        T.StructField("pdf_status", T.StringType()),
-        T.StructField("title", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("uris", T.ArrayType(T.StringType())),
-    ]
+    [T.StructField("url_hash", T.StringType()), *_PDF_FIELDS]
 )
 
 
@@ -294,23 +295,34 @@ def pdf_parse_rows(
     slice_df: DataFrame,
     id_col: str = "url_hash",
     bytes_col: str = "bytes",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pdf_ok, pdf_status, title, text, uris) per input row —
-    Arrow-batched; only the pdf slice of a dispatch ever reaches this."""
+    """(id, *passthrough, pdf_ok, pdf_status, title, text, uris) per
+    input row — Arrow-batched; only the pdf slice of a dispatch ever
+    reaches this. ``passthrough`` columns ride through the batch so
+    the caller needs no join back onto the slice (one output row per
+    input row, no shuffle)."""
     import pandas as pd
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.StringType())]
+        + [T.StructField(c, slice_df.schema[c].dataType) for c in passthrough]
+        + _PDF_FIELDS
+    )
+    cols = [f.name for f in schema.fields]
 
     def _parse(it):
         for pdf in it:
             recs = []
-            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
+            for row in pdf.itertuples(index=False):
+                blob = getattr(row, bytes_col)
                 r = pdf_extract(bytes(blob) if blob is not None else b"")
-                r["url_hash"] = rid
+                r[id_col] = getattr(row, id_col)
+                for c in passthrough:
+                    r[c] = getattr(row, c)
                 recs.append(r)
-            yield pd.DataFrame(
-                recs,
-                columns=[f.name for f in PDF_PARSE_SCHEMA.fields],
-            )
+            yield pd.DataFrame(recs, columns=cols)
 
     return slice_df.select(
-        slice_df[id_col].alias(id_col), slice_df[bytes_col].alias(bytes_col)
-    ).mapInPandas(_parse, PDF_PARSE_SCHEMA)
+        id_col, *passthrough, bytes_col
+    ).mapInPandas(_parse, schema)
