@@ -13,10 +13,14 @@ Reference: ``parse/ParserFactory.java`` + ``parse/ParseUtil.java`` +
 
 Spark shape: the dispatch is declarative — one filter per mimeType
 group over the input, each parser applied to its slice (column-level
-parsers stay in whole-stage codegen; only html/zip/swf decode drops
-to mapInPandas over the slice), results normalized to one PARSE_RESULT
-schema and unioned. Chain fallback joins the failed ids of parser N
-into parser N+1's input slice, mirroring the first-success loop.
+parsers stay in whole-stage codegen; html/zip/swf/pdf/office decode
+drops to mapInPandas over its slice ONLY, with url/content_type
+riding through the Arrow batch so no arm joins back onto its slice —
+every single-parser chain is exchange-free). Results normalize to one
+PARSE_RESULT schema and union. Chain fallback (multi-parser chains
+like [parse-tika, feed]) joins the failed ids of parser N into parser
+N+1's input slice, mirroring the first-success loop — the one place a
+shuffle is inherent to the semantics.
 """
 
 from __future__ import annotations
@@ -103,29 +107,23 @@ def _run_html(slice_df: DataFrame) -> DataFrame:
     from .parse_html import html_parse
 
     src = slice_df.withColumn("_html", _decoded(F.col("bytes")))
-    parsed = html_parse(src, html_col="_html", base_url_col="url")
-    joined = slice_df.join(
-        parsed.select(
-            "url_hash",
-            F.col("title").alias("_t"),
-            F.col("text").alias("_x"),
-            F.col("nofollow").alias("_nf"),
-            F.col("outlinks").alias("_ol"),
-        ),
-        on="url_hash",
-        how="left",
+    parsed = html_parse(
+        src,
+        html_col="_html",
+        base_url_col="url",
+        passthrough=("url", "content_type"),
     )
     return _norm(
-        joined,
+        parsed,
         "parse-html",
         F.lit(True),
         F.lit("success"),
-        F.coalesce("_t", F.lit("")),
-        F.coalesce("_x", F.lit("")),
+        F.coalesce("title", F.lit("")),
+        F.coalesce("text", F.lit("")),
         # meta robots nofollow suppresses the page's outlinks
         # (ParseUtil.processSuccess stores outlinks only when followable)
-        F.when(F.col("_nf"), F.array().cast(OUTLINKS_T)).otherwise(
-            F.coalesce(F.col("_ol"), F.array().cast(OUTLINKS_T))
+        F.when(F.col("nofollow"), F.array().cast(OUTLINKS_T)).otherwise(
+            F.coalesce(F.col("outlinks"), F.array().cast(OUTLINKS_T))
         ),
     )
 
@@ -183,45 +181,84 @@ def _run_feed(slice_df: DataFrame) -> DataFrame:
     )
 
 
-def _run_zip(slice_df: DataFrame) -> DataFrame:
-    from .multimodal import zip_entries
+def _run_zip(
+    slice_df: DataFrame,
+    max_entry_bytes: int = 1 << 20,
+    max_declared_entry_bytes: int = 1 << 28,
+) -> DataFrame:
+    """One mapInPandas pass per archive: member text concatenated in
+    ARCHIVE order (ZipTextExtractor.java:73-110 appends each entry's
+    parsed text in iteration order — the former explode + groupBy +
+    join-back shape both shuffled twice and name-sorted the members).
+    Same zip-bomb hardening as multimodal.zip_entries: members are
+    stream-truncated at ``max_entry_bytes``, entries with a declared
+    size past ``max_declared_entry_bytes`` are skipped."""
+    from pyspark.sql import types as T
 
-    entries = zip_entries(slice_df, id_col="url_hash")
-    per_id = entries.groupBy("url_hash").agg(
-        F.max(F.col("zip_ok").cast("int")).cast("boolean").alias("_ok"),
-        # member text joined entry-name-sorted: collect_list order is
-        # not a contract, and the reference's append-in-archive-order
-        # only differs for multi-member archives (ZipTextExtractor
-        # appends each entry's parsed text to the archive's content)
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("entry_name").alias("n"),
-                            _decoded(F.col("entry_bytes")).alias("t"),
-                        )
-                    )
-                ),
-                lambda s: F.coalesce(s.getField("t"), F.lit("")),
-            ),
-            "\n",
-        ).alias("_x"),
+    schema = T.StructType(
+        [
+            T.StructField("url_hash", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("_ok", T.BooleanType()),
+            T.StructField("_x", T.StringType()),
+        ]
     )
-    joined = slice_df.join(per_id, on="url_hash", how="left")
-    text = F.coalesce("_x", F.lit(""))
-    ok = F.coalesce("_ok", F.lit(False))
+
+    def _batches(it):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                texts: list[str] = []
+                ok = False
+                try:
+                    with zipfile.ZipFile(
+                        io.BytesIO(bytes(pdf["bytes"].iat[i]))
+                    ) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            if info.file_size > max_declared_entry_bytes:
+                                continue
+                            with zf.open(info) as member:
+                                data = member.read(max_entry_bytes)
+                            texts.append(data.decode("utf-8", "replace"))
+                    ok = True
+                except Exception:
+                    ok = False
+                rows.append(
+                    (
+                        pdf["url_hash"].iat[i],
+                        pdf["url"].iat[i],
+                        pdf["content_type"].iat[i],
+                        ok,
+                        "\n".join(texts) if ok else "",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url_hash", "url", "content_type", "_ok", "_x"]
+            )
+
+    parsed = slice_df.select(
+        "url_hash", "url", "content_type", "bytes"
+    ).mapInPandas(_batches, schema)
+    ok = F.col("_ok")
     links = F.transform(
-        F.regexp_extract_all(text, F.lit("(?i)" + URL_PATTERN), 0),
+        F.regexp_extract_all(F.col("_x"), F.lit("(?i)" + URL_PATTERN), 0),
         lambda u: F.struct(u.alias("url"), F.lit("").alias("anchor")),
     )
     return _norm(
-        joined,
+        parsed,
         "parse-zip",
         ok,
         F.when(ok, F.lit("success")).otherwise(F.lit("failed: corrupt archive")),
         F.lit(""),
-        F.when(ok, text).otherwise(F.lit("")),
+        F.col("_x"),
         F.when(ok, links).otherwise(F.array().cast(OUTLINKS_T)),
     )
 
@@ -229,17 +266,9 @@ def _run_zip(slice_df: DataFrame) -> DataFrame:
 def _run_swf(slice_df: DataFrame) -> DataFrame:
     from .parse_plugins import swf_extract
 
-    parsed = swf_extract(slice_df, id_col="url_hash")
-    joined = slice_df.join(
-        parsed.select(
-            "url_hash",
-            F.col("swf_ok").alias("_ok"),
-            F.col("text").alias("_x"),
-            F.col("urls").alias("_u"),
-        ),
-        on="url_hash",
-        how="left",
-    )
+    joined = swf_extract(
+        slice_df, id_col="url_hash", passthrough=("url", "content_type")
+    ).withColumnsRenamed({"swf_ok": "_ok", "text": "_x", "urls": "_u"})
     ok = F.coalesce("_ok", F.lit(False))
     links = F.transform(
         F.coalesce("_u", F.array().cast("array<string>")),

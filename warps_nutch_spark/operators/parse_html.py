@@ -159,35 +159,45 @@ def html_parse(
     html_col: str = "html",
     base_url_col: str = "url",
     id_col: str = "url_hash",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, title, text, base_url, noindex, nofollow, outlinks) per
-    page. A page that fails to parse yields empty text and no
-    outlinks, never a failed stage (stdlib HTMLParser is non-raising
-    on malformed markup by design, matching the reference's
-    tolerant neko/tagsoup parse)."""
+    """(id, *passthrough, title, text, base_url, noindex, nofollow,
+    outlinks) per page. A page that fails to parse yields empty text
+    and no outlinks, never a failed stage (stdlib HTMLParser is
+    non-raising on malformed markup by design, matching the
+    reference's tolerant neko/tagsoup parse). ``passthrough`` columns
+    ride through the Arrow batch so callers need no join back onto
+    the input (one output row per input row, no shuffle)."""
     import pandas as pd
 
+    extra = [c for c in passthrough if c != base_url_col]
     out_schema = T.StructType(
-        [T.StructField(id_col, T.StringType())] + HTML_PARSE_SCHEMA_FIELDS
+        [T.StructField(id_col, T.StringType())]
+        + [T.StructField(c, df.schema[c].dataType) for c in passthrough]
+        + HTML_PARSE_SCHEMA_FIELDS
     )
 
     def _batches(it):
         dom_cls = _make_parser_cls()
-        cols = [id_col] + [f.name for f in HTML_PARSE_SCHEMA_FIELDS]
+        cols = [f.name for f in out_schema.fields]
         for pdf in it:
             rows = []
-            for rid, html, base in zip(
-                pdf[id_col], pdf[html_col], pdf[base_url_col]
-            ):
+            # positional column access — itertuples would mangle
+            # names like "_html" (leading underscore) to _N fields
+            for i in range(len(pdf)):
+                base = pdf[base_url_col].iat[i]
                 p = dom_cls(base or "")
                 try:
-                    p.feed(html or "")
+                    p.feed(pdf[html_col].iat[i] or "")
                     p.close()
                 except Exception:
                     pass
-                rows.append({id_col: rid, **p.result()})
+                rec = {id_col: pdf[id_col].iat[i], **p.result()}
+                for c in passthrough:
+                    rec[c] = pdf[c].iat[i]
+                rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, html_col, base_url_col).mapInPandas(
+    return df.select(id_col, *extra, html_col, base_url_col).mapInPandas(
         _batches, out_schema
     )

@@ -340,9 +340,9 @@ def office_parse_rows(
     def _parse(it):
         for pdf in it:
             recs = []
-            for row in pdf.itertuples(index=False):
-                ctype = getattr(row, content_type_col)
-                blob = getattr(row, bytes_col)
+            for i in range(len(pdf)):
+                ctype = pdf[content_type_col].iat[i]
+                blob = pdf[bytes_col].iat[i]
                 blob = bytes(blob) if blob is not None else b""
                 meta: dict[str, str] = {}
                 if ctype in ODF_TYPES:
@@ -357,7 +357,7 @@ def office_parse_rows(
                         r = {"ok": True, "status": "success", "title": "", "text": ""}
                         meta = {"width": str(dims[0]), "height": str(dims[1])}
                 rec = {
-                    id_col: getattr(row, id_col),
+                    id_col: pdf[id_col].iat[i],
                     "office_ok": r["ok"],
                     "office_status": r["status"],
                     "title": r["title"],
@@ -365,7 +365,7 @@ def office_parse_rows(
                     "meta": meta,
                 }
                 for c in passthrough:
-                    rec[c] = getattr(row, c)
+                    rec[c] = pdf[c].iat[i]
                 recs.append(rec)
             yield pd.DataFrame(recs, columns=cols)
 

@@ -314,12 +314,12 @@ def pdf_parse_rows(
     def _parse(it):
         for pdf in it:
             recs = []
-            for row in pdf.itertuples(index=False):
-                blob = getattr(row, bytes_col)
+            for i in range(len(pdf)):
+                blob = pdf[bytes_col].iat[i]
                 r = pdf_extract(bytes(blob) if blob is not None else b"")
-                r[id_col] = getattr(row, id_col)
+                r[id_col] = pdf[id_col].iat[i]
                 for c in passthrough:
-                    r[c] = getattr(row, c)
+                    r[c] = pdf[c].iat[i]
                 recs.append(r)
             yield pd.DataFrame(recs, columns=cols)
 

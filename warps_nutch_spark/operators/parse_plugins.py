@@ -225,6 +225,7 @@ def swf_extract(
     bytes_col: str = "bytes",
     id_col: str = "url_hash",
     max_inflated_bytes: int = 1 << 26,
+    passthrough: tuple[str, ...] = (),
 ):
     """(id, swf_ok, text, urls) per SWF blob. ``text`` joins the
     printable runs of the movie body with '\\n' (the regex-level
@@ -240,8 +241,9 @@ def swf_extract(
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.StringType()),
+        [T.StructField(id_col, T.StringType())]
+        + [T.StructField(c, df.schema[c].dataType) for c in passthrough]
+        + [
             T.StructField("swf_ok", T.BooleanType()),
             T.StructField("text", T.StringType()),
             T.StructField("urls", T.ArrayType(T.StringType())),
@@ -275,16 +277,24 @@ def swf_extract(
         urls = sorted({u.decode("ascii", "replace") for u in url_re.findall(body)})
         return True, "\n".join(runs), urls
 
+    cols = [f.name for f in out_schema.fields]
+
     def _batches(it):
         for pdf in it:
             rows = []
-            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
-                ok, text, urls = _one(blob)
-                rows.append(
-                    {id_col: rid, "swf_ok": ok, "text": text, "urls": urls}
-                )
-            yield pd.DataFrame(
-                rows, columns=[id_col, "swf_ok", "text", "urls"]
-            )
+            for i in range(len(pdf)):
+                ok, text, urls = _one(pdf[bytes_col].iat[i])
+                rec = {
+                    id_col: pdf[id_col].iat[i],
+                    "swf_ok": ok,
+                    "text": text,
+                    "urls": urls,
+                }
+                for c in passthrough:
+                    rec[c] = pdf[c].iat[i]
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, bytes_col).mapInPandas(_batches, out_schema)
+    return df.select(id_col, *passthrough, bytes_col).mapInPandas(
+        _batches, out_schema
+    )
