@@ -119,6 +119,8 @@ _FRONT = [
     "dmoz_seeds",
     "parse_pdf",
     "parse_office",
+    # new this session (REST admin service /db page semantics)
+    "db_query",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

@@ -340,6 +340,39 @@ def _check_one_url(spark, args):
     return parse_op.parse(res, cfg, "check"), res
 
 
+def cmd_nutchserver(spark, args) -> int:
+    """``nutchserver`` verb (``service/NutchMaster.java:300-359``
+    main): start the REST admin service; ``--stop [--force]`` sends
+    ``GET /admin/stop`` to a running server (the ``-stop`` CLI path,
+    ``NutchMaster.stopRemoteServer``)."""
+    import time as _time
+
+    if args.stop:
+        from .service.client import NutchServiceClient
+
+        c = NutchServiceClient(f"http://127.0.0.1:{args.port}")
+        print(json.dumps(c.stop_server(force=args.force)))
+        return 0
+
+    from .service.master import NutchMasterServer
+
+    srv = NutchMasterServer(
+        spark, args.workdir, port=args.port, web_params=_web_params(args)
+    )
+    print(json.dumps({"endpoint": srv.endpoint}))
+    sys.stdout.flush()
+    try:
+        t0 = _time.time()
+        while not srv._stopped.is_set():
+            if args.duration and _time.time() - t0 >= args.duration:
+                break
+            _time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    srv.close()
+    return 0
+
+
 def cmd_parsechecker(spark, args) -> int:
     parsed, res = _check_one_url(spark, args)
     r = res.collect()[0]
@@ -454,6 +487,21 @@ def make_parser() -> argparse.ArgumentParser:
     dz.add_argument("--topic", default="")
     dz.add_argument("--skew", type=int, default=0)
 
+    ns = sub.add_parser(
+        "nutchserver",
+        help="start the REST admin service (NutchMaster); --stop halts a"
+             " running one",
+    )
+    ns.add_argument("--workdir", default="/tmp/wns-master")
+    ns.add_argument("--port", type=int, default=8182)  # NutchMaster DEFAULT_PORT
+    ns.add_argument("--web", default="8,120,42")
+    ns.add_argument("--stop", action="store_true",
+                    help="stop the server listening on --port")
+    ns.add_argument("--force", action="store_true",
+                    help="with --stop: kill despite running jobs")
+    ns.add_argument("--duration", type=float, default=0.0,
+                    help="serve for N seconds then exit (0 = forever)")
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -472,6 +520,7 @@ COMMANDS = {
     "clean": cmd_clean,
     "solrdedup": cmd_solrdedup,
     "dmozparser": cmd_dmozparser,
+    "nutchserver": cmd_nutchserver,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }

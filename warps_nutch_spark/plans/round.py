@@ -282,11 +282,26 @@ class RoundDriver:
     def round_now(self, r: int) -> int:
         return self.start_ms + r * self.cfg.round_time_limit_ms
 
-    def run_round(self, r: int) -> dict:
+    def run_round(self, r: int, stop_after: str | None = None) -> dict:
+        """Run round ``r``; with ``stop_after`` set to a stage name
+        ("generate" | "fetch" | "parse" | "updatedb") return as soon as
+        that stage's artifact is committed. This is how the REST job
+        service maps the reference's separate GenerateJob / FetchJob /
+        ParserJob / DbUpdateJob verbs onto the same checkpointed round:
+        each stage-job resumes the batch at its own stage
+        (``service/impl/JobFactory.java:34-41`` type table)."""
         batch_id = f"batch-{r:04d}"
         now = self.round_now(r)
         t0 = time.time()
         stage_times: dict[str, float] = {}
+
+        def _partial(stage: str) -> dict:
+            return {
+                "batch_id": batch_id,
+                "elapsed_sec": time.time() - t0,
+                "stopped_after": stage,
+                "stage_sec": {k: round(v, 2) for k, v in stage_times.items()},
+            }
 
         # -- generate ----------------------------------------------------
         if not self._done(batch_id, "generate"):
@@ -304,6 +319,8 @@ class RoundDriver:
                 self._write_stage(fl, batch_id, "generate")
             self._mark_done(batch_id, "generate")
         stage_times["generate"] = time.time() - t0
+        if stop_after == "generate":
+            return _partial("generate")
         fetchlist = self._read_stage(batch_id, "generate")
 
         # -- fetch ---------------------------------------------------------
@@ -337,6 +354,8 @@ class RoundDriver:
             )
             self._mark_done(batch_id, "fetch")
         stage_times["fetch"] = time.time() - t_f
+        if stop_after == "fetch":
+            return _partial("fetch")
         fetch_results = self._read_stage(batch_id, "fetch")
 
         # -- parse -----------------------------------------------------------
@@ -370,6 +389,8 @@ class RoundDriver:
             )
             self._mark_done(batch_id, "parse")
         stage_times["parse"] = time.time() - t_p
+        if stop_after == "parse":
+            return _partial("parse")
         parsed = self._read_stage(batch_id, "parse")
 
         # -- JIT index (TaskScheduler.java:799-804 + JITIndexer.java):

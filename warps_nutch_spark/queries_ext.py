@@ -2741,6 +2741,52 @@ FROM d
 """
 
 
+# ===========================================================================
+# E40: REST /db query page — DbReader reversed-key range scan with regex
+# rules, projection, and the reference's start-1 offset paging quirk
+# (service/impl/db/DbReader.java, DbIterator.java:47-56,
+# DbResource.java:44-51)
+# ===========================================================================
+def q_db_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .service.dbreader import db_query
+
+    fr = derived_frontier(spark, sf_dir)
+    page = db_query(
+        fr,
+        start_key="test.src1",
+        end_key="test.src1~",
+        keys_reversed=True,
+        # exclude media + the per-host duplicate index pages: the real
+        # store keys rows by url (unique); the derived frontier repeats
+        # /index.html per host, which would make page order ambiguous
+        url_filter="-\\.jpg$\n-index\\.html$\n+.",
+        batch_id=None,  # derived frontier carries no UPDATEDB mark
+        fields=["url", "host", "score", "fetch_time"],
+        start=11,  # reference skips start-1 = 10 rows
+        limit=200,
+    )
+    return page.select("url", "host", F.col("score").cast("double").alias("score"),
+                       "fetch_time")
+
+
+ORACLE_DB_QUERY = f"""
+WITH {FRONTIER_SQL},
+keyed AS (
+  SELECT url, host, score, fetch_time,
+    array_to_string(list_reverse(string_split(host, '.')), '.')
+      || ':http' || substr(url, 8 + length(host)) AS k
+  FROM frontier
+  WHERE NOT regexp_matches(url, '\\.jpg$')
+    AND NOT regexp_matches(url, 'index\\.html$')
+)
+SELECT url, host, score, fetch_time
+FROM keyed
+WHERE k >= 'test.src1' AND k <= 'test.src1~'
+ORDER BY k
+LIMIT 200 OFFSET 10
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2789,6 +2835,7 @@ EXT_QUERIES = {
     "dmoz_seeds": q_dmoz_seeds,
     "parse_pdf": q_parse_pdf,
     "parse_office": q_parse_office,
+    "db_query": q_db_query,
 }
 
 EXT_ORACLES = {
@@ -2840,4 +2887,5 @@ EXT_ORACLES = {
     "dmoz_seeds": ORACLE_DMOZ_SEEDS,
     "parse_pdf": ORACLE_PARSE_PDF,
     "parse_office": ORACLE_PARSE_OFFICE,
+    "db_query": ORACLE_DB_QUERY,
 }

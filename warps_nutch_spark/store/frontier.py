@@ -102,6 +102,18 @@ class ParquetFrontierStore(FrontierStore):
                     f,
                 )
 
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, compact_ratio: float = 0.5):
+        """Open an existing store adopting its recorded on-disk layout
+        (pure readers — e.g. the REST /db endpoint — must not need to
+        know the writer's host_buckets)."""
+        meta_file = os.path.join(path, "_STORE_META.json")
+        if not os.path.exists(meta_file):
+            raise FileNotFoundError(f"no frontier store at {path}")
+        with open(meta_file) as f:
+            meta = json.load(f)
+        return cls(spark, path, int(meta["host_buckets"]), compact_ratio)
+
     # -- version bookkeeping ------------------------------------------
     @property
     def _version_file(self) -> str:
