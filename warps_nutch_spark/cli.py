@@ -373,6 +373,38 @@ def cmd_nutchserver(spark, args) -> int:
     return 0
 
 
+def cmd_testbedproxy(spark, args) -> int:
+    """``testbedproxy`` verb (``tools/proxy/TestbedProxy.java`` main):
+    run the fake-web proxy handler chain for crawler benchmarking."""
+    import time as _time
+
+    from .operators.testbed_proxy import TestbedProxyServer
+
+    srv = TestbedProxyServer(
+        port=args.port,
+        fake=args.fake,
+        forward=args.forward,
+        delay_ms=args.delay,
+        debug=args.debug,
+        host_mode=args.host_mode,
+        page_mode=args.page_mode,
+        num_hosts=args.num_hosts,
+        num_pages=args.num_pages,
+        int_links=args.int_links,
+        ext_links=args.ext_links,
+    )
+    print(json.dumps({"endpoint": srv.endpoint}))
+    sys.stdout.flush()
+    try:
+        t0 = _time.time()
+        while not args.duration or _time.time() - t0 < args.duration:
+            _time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    srv.close()
+    return 0
+
+
 def cmd_parsechecker(spark, args) -> int:
     parsed, res = _check_one_url(spark, args)
     r = res.collect()[0]
@@ -502,6 +534,27 @@ def make_parser() -> argparse.ArgumentParser:
     ns.add_argument("--duration", type=float, default=0.0,
                     help="serve for N seconds then exit (0 = forever)")
 
+    tp = sub.add_parser(
+        "testbedproxy", help="run the fake-web benchmark proxy"
+    )
+    tp.add_argument("--port", type=int, default=8181)  # batch.proxy.port
+    tp.add_argument("--fake", action="store_true", default=True)
+    tp.add_argument("--no-fake", dest="fake", action="store_false")
+    tp.add_argument("--forward", action="store_true")
+    tp.add_argument("--delay", type=int, default=0,
+                    help="delay ms; negative = random up to -n")
+    tp.add_argument("--debug", action="store_true")
+    tp.add_argument("--host-mode", dest="host_mode", choices=["u", "r"],
+                    default="r")
+    tp.add_argument("--page-mode", dest="page_mode", choices=["u", "r"],
+                    default="r")
+    tp.add_argument("--num-hosts", dest="num_hosts", type=int,
+                    default=1_000_000)
+    tp.add_argument("--num-pages", dest="num_pages", type=int, default=10_000)
+    tp.add_argument("--int-links", dest="int_links", type=int, default=10)
+    tp.add_argument("--ext-links", dest="ext_links", type=int, default=5)
+    tp.add_argument("--duration", type=float, default=0.0)
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -521,6 +574,7 @@ COMMANDS = {
     "solrdedup": cmd_solrdedup,
     "dmozparser": cmd_dmozparser,
     "nutchserver": cmd_nutchserver,
+    "testbedproxy": cmd_testbedproxy,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }

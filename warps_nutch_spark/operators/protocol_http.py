@@ -125,6 +125,7 @@ def _fetch_one_http(
     timeout_s: float,
     max_retry: int,
     sessions: dict,
+    proxy: tuple[str, int] | None = None,
 ) -> dict:
     import http.client
     import socket
@@ -142,7 +143,16 @@ def _fetch_one_http(
     p = urlparse(url)
     if p.scheme not in ("http", "https"):
         return out  # HttpResponse.java:72 unknown scheme -> exception
-    key = (p.scheme, p.hostname, p.port)
+    # http.proxy.host / http.proxy.port (HttpBase.java:145-151): with a
+    # proxy, the connection targets the proxy and http requests carry
+    # the absolute URI; https tunnels through CONNECT
+    if proxy is None:
+        key = (p.scheme, p.hostname, p.port)
+    elif p.scheme == "https":
+        # a CONNECT tunnel is pinned to one origin — keep per-origin conns
+        key = ("proxy", *proxy, p.hostname, p.port)
+    else:
+        key = ("proxy", *proxy)
     headers = {
         "Accept": accept,
         "Accept-Encoding": "x-gzip, gzip",
@@ -165,9 +175,17 @@ def _fetch_one_http(
                     if p.scheme == "https"
                     else http.client.HTTPConnection
                 )
-                conn = cls(p.hostname, p.port, timeout=timeout_s)
+                if proxy is not None:
+                    conn = cls(proxy[0], proxy[1], timeout=timeout_s)
+                    if p.scheme == "https":
+                        conn.set_tunnel(p.hostname, p.port)
+                else:
+                    conn = cls(p.hostname, p.port, timeout=timeout_s)
                 sessions[key] = conn
-            conn.request("GET", path, headers=headers)
+            req_path = path
+            if proxy is not None and p.scheme == "http":
+                req_path = url  # absolute-URI proxy request form
+            conn.request("GET", req_path, headers=headers)
             resp = conn.getresponse()
             cap = max_content_length
             body = _read_capped(resp, cap)
@@ -228,14 +246,21 @@ def fetch_http_urls(
     accept: str = "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
     timeout_s: float = 10.0,
     max_retry: int = 3,
+    proxy_host: str | None = None,
+    proxy_port: int = 8080,
 ) -> DataFrame:
     """Fetch a DataFrame of ``http(s)://`` URLs -> protocol responses
     (code, truncated content, true Content-Length, Last-Modified,
     resolved redirect Location, ProtocolStatus classification).
-    ``modified_col`` (epoch ms) drives ``If-Modified-Since``."""
+    ``modified_col`` (epoch ms) drives ``If-Modified-Since``.
+    ``proxy_host``/``proxy_port`` route every request through an HTTP
+    proxy (the ``http.proxy.host``/``http.proxy.port`` knobs,
+    ``HttpBase.java:145-151`` — useProxy when the host is set), e.g.
+    the :class:`.testbed_proxy.TestbedProxyServer` fake web."""
     cols = [url_col] + ([modified_col] if modified_col else [])
     proj = df.select(*cols)
     mod_name = modified_col
+    proxy = (proxy_host, int(proxy_port)) if proxy_host else None
 
     def _batch(it):
         sessions: dict = {}
@@ -256,6 +281,7 @@ def fetch_http_urls(
                             timeout_s,
                             max_retry,
                             sessions,
+                            proxy,
                         )
                     )
                 yield pd.DataFrame(
