@@ -312,6 +312,26 @@ def main():
         ("parse_tika_tier", "contains MapInPandas", "MapInPandas" in tika_plan)
     )
 
+    # REST /db page query (DbReader): the paging must compile to a
+    # per-partition top-(offset+limit) TakeOrderedAndProject, never a
+    # global Sort + Exchange — only one page of rows reaches the driver
+    from warps_nutch_spark.queries import QUERIES as _Q
+
+    db_plan = formatted(_Q["db_query"](spark, sf_dir))
+    sections.append(("db_query", db_plan))
+    checks.append(
+        (
+            "db_query",
+            "contains TakeOrderedAndProject (offset+limit, no global sort)",
+            "TakeOrderedAndProject" in db_plan,
+        )
+    )
+    checks.append(("db_query", "no Exchange", "Exchange" not in db_plan))
+    checks.append(
+        ("db_query", "single codegen span", db_plan.count("codegen id : 1") > 0
+         and "codegen id : 2" not in db_plan)
+    )
+
     out = ["# PLANS — physical-plan audit\n"]
     out.append("| plan | check | ok |\n|---|---|---|\n")
     for name, check, ok in checks:

@@ -405,6 +405,46 @@ def cmd_testbedproxy(spark, args) -> int:
     return 0
 
 
+def cmd_resolveurls(spark, args) -> int:
+    """``resolveurls`` verb (``tools/ResolveUrls.java`` main): bulk
+    DNS-resolution check over a URL file, distributed."""
+    from .operators.resolve_urls import resolve_summary, resolve_urls
+
+    df = spark.read.text(args.urls).withColumnRenamed("value", "url")
+    out = resolve_urls(df)
+    if args.dump:
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    print(json.dumps(resolve_summary(out)))
+    return 0
+
+
+def cmd_reports(spark, args) -> int:
+    """``reports`` verb (``tools/NutchMetrics.java``): emit the
+    reference's operator-facing text reports (unreachable hosts,
+    redirects, fetch-time history) from the crawl workdir state."""
+    from .metrics import NutchMetrics
+    from .plans.round import RoundDriver
+
+    drv = RoundDriver(spark, args.workdir, _cfg_from_args(args), _web_params(args))
+    m = NutchMetrics(args.out or os.path.join(args.workdir, "reports"))
+    unreachable = drv.unreachable_hosts()
+    n_hosts = m.write_unreachable_hosts(unreachable) if unreachable is not None else 0
+    fr = drv.store.read()
+    suffix = args.batch or "all"
+    print(
+        json.dumps(
+            {
+                "report_dir": m.dir,
+                "unreachable_hosts": n_hosts,
+                "redirects": m.report_redirects(fr, suffix),
+                "fetch_time_history": m.report_fetch_time_history(fr, suffix),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_parsechecker(spark, args) -> int:
     parsed, res = _check_one_url(spark, args)
     r = res.collect()[0]
@@ -555,6 +595,19 @@ def make_parser() -> argparse.ArgumentParser:
     tp.add_argument("--ext-links", dest="ext_links", type=int, default=5)
     tp.add_argument("--duration", type=float, default=0.0)
 
+    ru = sub.add_parser("resolveurls", help="bulk DNS resolution check")
+    ru.add_argument("--urls", required=True)
+    ru.add_argument("--dump", action="store_true")
+
+    rp = sub.add_parser(
+        "reports", help="emit NutchMetrics text reports from a crawl workdir"
+    )
+    rp.add_argument("--workdir", required=True)
+    rp.add_argument("--out", default="")
+    rp.add_argument("--batch", default="")
+    rp.add_argument("--web", default="8,120,42")
+    rp.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -575,6 +628,8 @@ COMMANDS = {
     "dmozparser": cmd_dmozparser,
     "nutchserver": cmd_nutchserver,
     "testbedproxy": cmd_testbedproxy,
+    "resolveurls": cmd_resolveurls,
+    "reports": cmd_reports,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }
