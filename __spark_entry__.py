@@ -119,8 +119,11 @@ _FRONT = [
     "dmoz_seeds",
     "parse_pdf",
     "parse_office",
-    # new this session (REST admin service /db page semantics)
+    # new this session (REST admin service /db page semantics;
+    # incremental corpus-vs-batch LSH dedup)
     "db_query",
+    "dedup_incremental",
+    "embedding_sq8_topk",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

@@ -239,3 +239,65 @@ def test_phash_hamming_pairs_real_images(spark):
     # verify column is the true distance
     for r in got.itertuples():
         assert r.hamming == codec.hamming64(imgs[r.id_a], imgs[r.id_b])
+
+
+def test_minhash_incremental_dedup_corpus_vs_batch(spark, workdir):
+    """Incremental admission gate: new docs dedup against a PERSISTED
+    corpus band table (corpus never re-shingled); corpus match beats
+    same-batch match; non-colliding docs are admitted (absent)."""
+    import os
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, base),
+             (2, "one two three four five six seven eight nine ten")],
+            columns=["doc_id", "text"],
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, base),        # dup of corpus doc 1
+                (11, "completely different text about nothing shared at all"),
+                (12, "completely different text about nothing shared at all"),
+                # dup of corpus 1 AND of new 10 -> corpus wins
+                (13, base),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    # persist the corpus state, read it back (the 100 TB shape)
+    path = os.path.join(workdir, "corpus_bands")
+    dedup.minhash_band_table(corpus).write.parquet(path)
+    corpus_bands = spark.read.parquet(path)
+    out = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup.minhash_incremental_dedup(
+            dedup.minhash_band_table(new), corpus_bands
+        ).collect()
+    }
+    assert out == {10: 1, 12: 11, 13: 1}  # 11 admitted (absent)
+
+
+def test_sq8_topk_rescoring_vs_exact(spark):
+    """SQ8 two-stage ANN: rescored scores are the EXACT float cosines,
+    and at coarse_factor=4 the candidate pool recovers (nearly) the
+    exact top-k on the test embeddings."""
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.operators.ann import (
+        brute_force_topk,
+        sq8_topk_rescored,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"]: r["cosine"] for r in brute_force_topk(corpus, qv, 10).collect()}
+    sq8 = {r["vec_id"]: r["cosine"] for r in sq8_topk_rescored(corpus, qv, 10).collect()}
+    # rescoring reports true cosines: any id in both must agree exactly
+    for vid in set(exact) & set(sq8):
+        assert sq8[vid] == exact[vid]
+    # int8 coarse stage keeps >= 8/10 of the exact top-k
+    assert len(set(exact) & set(sq8)) >= 8

@@ -67,6 +67,53 @@ def brute_force_topk(
     )
 
 
+def sq8_quantize_col(vec: Column, scale: float = 64.0) -> Column:
+    """int8 scalar quantization: q_i = clamp(round(x_i·scale), ±127).
+    At 100 TB the quantized corpus is what sits on disk/in cache —
+    4× fewer scan bytes per vector than float32 — and because cosine
+    is scale-invariant, cosine over the int arrays EQUALS cosine over
+    the dequantized vectors (q/scale): the coarse stage needs no
+    dequantization at all."""
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.round(x.cast("double") * scale, 0))
+        ).cast("int"),
+    )
+
+
+def sq8_topk_rescored(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    coarse_factor: int = 4,
+    scale: float = 64.0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage quantized ANN: coarse top-(k·coarse_factor) by
+    int8-quantized cosine (the cheap scan), then exact float cosine
+    rescoring of just those candidates, final top-k. Both stages
+    compile to TakeOrderedAndProject (per-partition partial top-k, no
+    global sort); the rescore touches coarse_factor·k rows, not the
+    corpus. Ordering is the total (score DESC, id ASC) in both stages
+    so results are deterministic."""
+    joined = emb.crossJoin(F.broadcast(query))
+    qcos = cosine_col(
+        sq8_quantize_col(F.col("embedding"), scale), sq8_quantize_col(F.col("qe"), scale)
+    )
+    coarse = (
+        joined.select(id_col, "embedding", "qe", F.round(qcos, 4).alias("qcosine"))
+        .orderBy(F.desc("qcosine"), F.asc(id_col))
+        .limit(k * coarse_factor)
+    )
+    cos = cosine_col(F.col("embedding"), F.col("qe"))
+    return (
+        coarse.select(id_col, F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sign_bits(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, bits): sign-LSH signature string over the hyperplanes
     (``plane_id``, ``pe``). Planes broadcast; one wide groupBy."""

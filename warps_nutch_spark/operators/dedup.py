@@ -273,6 +273,98 @@ def shingles(
     return sh.distinct() if dedup else sh
 
 
+def minhash_band_table(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    n_bands: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) LSH band-bucket rows — the PERSISTED corpus
+    state for incremental dedup. At 100 TB this table is written once
+    per corpus (bucketed by (band, key)) and each new crawl batch joins
+    against it without re-shingling or re-hashing the corpus; the
+    batch pipeline (`minhash_incremental_dedup`) only ever shuffles
+    the new batch."""
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    r = n_hashes // n_bands
+    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col, dedup=False)
+    # min over md5(shingle || ':i') is an order-free, engine-agnostic
+    # stand-in for the classic universal-hash family
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # one generator instead of n_bands unioned scans (single pass)
+    return mh.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
+def minhash_incremental_dedup(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup admission: dedup a NEW batch against a
+    persisted corpus band table (``minhash_band_table`` output) without
+    touching the corpus documents.
+
+    Returns (doc_id, dup_of) for every new doc that collides in any
+    LSH band with (a) a corpus doc — ``dup_of`` = the smallest such
+    corpus id (the already-admitted copy wins) — or, failing that,
+    (b) an earlier doc of the same new batch (smallest smaller id).
+    Non-colliding new docs are absent (they are the admitted set).
+    The min-neighbor rule is deliberately non-transitive — full
+    transitive clustering is the connected-components operator's job
+    (E9); this is the per-batch admission gate a rolling 100 TB
+    training-data pipeline runs every ingest cycle.
+
+    Scale shape: two equi-joins keyed on (band, key), both sized by
+    the NEW batch's bucket collisions; the corpus rides in as a
+    pre-bucketed table (no corpus-side shuffle with matching
+    bucketing), and nothing is ever all-pairs.
+    """
+    n = new_bands.alias("n")
+    c = corpus_bands.alias("c")
+    on = (F.col("n.band") == F.col("c.band")) & (F.col("n.key") == F.col("c.key"))
+    vs_corpus = (
+        n.join(c, on)
+        .groupBy(F.col(f"n.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"c.{id_col}")).alias("_dup_corpus"))
+    )
+    m = new_bands.alias("m")
+    on_new = (
+        (F.col("n.band") == F.col("m.band"))
+        & (F.col("n.key") == F.col("m.key"))
+        & (F.col(f"m.{id_col}") < F.col(f"n.{id_col}"))
+    )
+    vs_new = (
+        n.join(m, on_new)
+        .groupBy(F.col(f"n.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"m.{id_col}")).alias("_dup_new"))
+    )
+    return (
+        vs_corpus.join(vs_new, on=id_col, how="full")
+        .select(
+            id_col,
+            F.coalesce(F.col("_dup_corpus"), F.col("_dup_new")).alias("dup_of"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 4,
@@ -296,29 +388,9 @@ def minhash_lsh_pairs(
     splitting into more bands only ADDS candidates (a match on a
     concatenated band key implies a match on each of its sub-keys).
     """
-    if n_hashes % n_bands != 0:
-        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
-    r = n_hashes // n_bands
-    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col, dedup=False)
-    # min over md5(shingle || ':i') is an order-free, engine-agnostic
-    # stand-in for the classic universal-hash family
-    mh = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    # one generator instead of n_bands unioned scans (single pass)
-    bands = mh.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "key"),
+    bands = minhash_band_table(
+        docs, n_hashes=n_hashes, n_bands=n_bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

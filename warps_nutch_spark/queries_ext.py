@@ -2787,6 +2787,94 @@ LIMIT 200 OFFSET 10
 """
 
 
+# ===========================================================================
+# Incremental MinHash-LSH dedup: new crawl batch vs a persisted corpus
+# band table (the rolling 100 TB ingest-admission gate; corpus never
+# re-shingled, batch-sized shuffles only)
+# ===========================================================================
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_band_table, minhash_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic split at any sf: 2/3 corpus, 1/3 new batch
+    corpus_bands = minhash_band_table(docs.filter(F.col("doc_id") % 3 < 2))
+    new_bands = minhash_band_table(docs.filter(F.col("doc_id") % 3 == 2))
+    return minhash_incremental_dedup(new_bands, corpus_bands)
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+mh AS (
+  SELECT doc_id,
+    min(md5(shingle || ':0')) h0, min(md5(shingle || ':1')) h1,
+    min(md5(shingle || ':2')) h2, min(md5(shingle || ':3')) h3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+),
+corpus_b AS (SELECT * FROM bands WHERE doc_id % 3 < 2),
+new_b AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+vs_corpus AS (
+  SELECT n.doc_id, min(c.doc_id) AS dup_corpus
+  FROM new_b n JOIN corpus_b c ON n.band = c.band AND n.key = c.key
+  GROUP BY n.doc_id
+),
+vs_new AS (
+  SELECT n.doc_id, min(m.doc_id) AS dup_new
+  FROM new_b n JOIN new_b m
+    ON n.band = m.band AND n.key = m.key AND m.doc_id < n.doc_id
+  GROUP BY n.doc_id
+)
+SELECT COALESCE(vc.doc_id, vn.doc_id) AS doc_id,
+       COALESCE(vc.dup_corpus, vn.dup_new) AS dup_of
+FROM vs_corpus vc FULL JOIN vs_new vn ON vc.doc_id = vn.doc_id
+"""
+
+
+# ===========================================================================
+# SQ8-quantized two-stage ANN: int8 coarse scan (4x fewer bytes at
+# 100 TB; cosine is scale-invariant so no dequantization) + exact
+# float rescoring of the candidate set only
+# ===========================================================================
+def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import sq8_topk_rescored
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return sq8_topk_rescored(emb.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+ORACLE_EMBEDDING_SQ8_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(greatest(-127, least(127, round(x*64, 0))) AS INT)) AS qeq
+  FROM embeddings WHERE vec_id = 0
+),
+coarse AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, q.qe,
+    round(list_cosine_similarity(
+      CAST(list_transform(CAST(e.embedding AS DOUBLE[]),
+        x -> CAST(greatest(-127, least(127, round(x*64, 0))) AS INT)) AS DOUBLE[]),
+      CAST(q.qeq AS DOUBLE[])), 4) AS qcosine
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY qcosine DESC, vec_id ASC LIMIT 40
+)
+SELECT vec_id, round(list_cosine_similarity(emb, qe), 4) AS cosine
+FROM coarse ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2836,6 +2924,8 @@ EXT_QUERIES = {
     "parse_pdf": q_parse_pdf,
     "parse_office": q_parse_office,
     "db_query": q_db_query,
+    "dedup_incremental": q_dedup_incremental,
+    "embedding_sq8_topk": q_embedding_sq8_topk,
 }
 
 EXT_ORACLES = {
@@ -2888,4 +2978,6 @@ EXT_ORACLES = {
     "parse_pdf": ORACLE_PARSE_PDF,
     "parse_office": ORACLE_PARSE_OFFICE,
     "db_query": ORACLE_DB_QUERY,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "embedding_sq8_topk": ORACLE_EMBEDDING_SQ8_TOPK,
 }
