@@ -332,6 +332,32 @@ def main():
          and "codegen id : 2" not in db_plan)
     )
 
+    # incremental LSH dedup: both corpus-vs-batch joins must be keyed
+    # equi-joins on (band, key) — never a cartesian / nested-loop scan
+    inc_plan = formatted(_Q["dedup_incremental"](spark, sf_dir))
+    sections.append(("dedup_incremental", inc_plan))
+    checks.append(
+        ("dedup_incremental", "no CartesianProduct",
+         "CartesianProduct" not in inc_plan)
+    )
+    checks.append(
+        ("dedup_incremental", "no BroadcastNestedLoopJoin",
+         "BroadcastNestedLoopJoin" not in inc_plan)
+    )
+
+    # SQ8 two-stage ANN: coarse AND rescore stages both compile to
+    # TakeOrderedAndProject (per-partition partial top-k, no global sort)
+    sq8_plan = formatted(_Q["embedding_sq8_topk"](spark, sf_dir))
+    sections.append(("embedding_sq8_topk", sq8_plan))
+    checks.append(
+        ("embedding_sq8_topk", "two TakeOrderedAndProject stages",
+         sq8_plan.count("TakeOrderedAndProject") >= 2)
+    )
+    checks.append(
+        ("embedding_sq8_topk", "no Sort + Exchange for ranking",
+         "Exchange rangepartitioning" not in sq8_plan)
+    )
+
     out = ["# PLANS — physical-plan audit\n"]
     out.append("| plan | check | ok |\n|---|---|---|\n")
     for name, check, ok in checks:
