@@ -124,6 +124,8 @@ _FRONT = [
     "db_query",
     "dedup_incremental",
     "embedding_sq8_topk",
+    "detect_encoding",
+    "domain_statistics",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

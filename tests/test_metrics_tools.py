@@ -86,3 +86,59 @@ def test_resolve_urls_distributed(spark):
         "errored": 2,
         "avg_millis": s["avg_millis"],
     }
+
+
+def test_domain_statistics_modes(spark):
+    from warps_nutch_spark.functions.status import CrawlStatus
+    from warps_nutch_spark.sources.readers import domain_statistics
+
+    fr = spark.createDataFrame(
+        [
+            ("http://a.x.test/1", "a.x.test", CrawlStatus.FETCHED),
+            ("http://b.x.test/2", "b.x.test", CrawlStatus.FETCHED),
+            ("http://c.org/3", "c.org", CrawlStatus.UNFETCHED),
+        ],
+        "url string, host string, status int",
+    )
+    host = {r["key"]: r["cnt"] for r in domain_statistics(fr, "host").collect()}
+    assert host == {"a.x.test": 1, "b.x.test": 1, "FETCHED": 2,
+                    "NOT_FETCHED": 1}
+    dom = {r["key"]: r["cnt"] for r in domain_statistics(fr, "domain").collect()}
+    assert dom["x.test"] == 2  # two-label registered domain
+    suf = {r["key"]: r["cnt"] for r in domain_statistics(fr, "suffix").collect()}
+    assert suf["test"] == 2 and "org" not in suf  # unfetched rows excluded
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        domain_statistics(fr, "tld")
+
+
+def test_sniff_encoding_edges(spark):
+    from pyspark.sql import functions as F
+
+    from warps_nutch_spark.functions.encoding import sniff_encoding_col
+
+    rows = [
+        # meta tag past 2000 bytes -> NOT sniffed (CHUNK_SIZE contract)
+        (1, b" " * 2100 + b"<meta charset=utf-8>", None),
+        # single-quoted http-equiv (NUTCH-1006)
+        (2, b"<meta http-equiv='content-type' content='text/html;"
+            b" charset=UTF-16BE'>", None),
+        # UTF-16BE BOM
+        (3, b"\xfe\xffplain", None),
+        # header beats everything
+        (4, b"<meta charset=utf-8>", "text/html; charset=ISO-8859-1"),
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary, header string")
+    out = {
+        r["id"]: r["enc"]
+        for r in df.select(
+            "id", sniff_encoding_col(F.col("content"), F.col("header")).alias("enc")
+        ).collect()
+    }
+    assert out == {
+        1: "windows-1252",  # default — meta is out of the sniff window
+        2: "utf-16be",
+        3: "utf-16be",
+        4: "windows-1252",  # header iso-8859-1 -> alias
+    }

@@ -167,3 +167,69 @@ def test_spark_fetch_through_proxy(spark, proxy):
     assert internal == GOLDEN_HOST3  # same graph the reference would fake
     for u in urls:
         assert f"URI: {u}" in bytes(by_url[u]["content"]).decode()
+
+
+# -- ProxyPool (net/proxy/ProxyPool.java) ------------------------------------
+
+
+def test_proxy_pool_rotation_retire_and_recovery():
+    from warps_nutch_spark.operators.proxy_pool import (
+        NoProxyError,
+        ProxyPool,
+        parse_proxy_list,
+    )
+
+    assert parse_proxy_list("# c\na:1\n\nb.example:8080\n") == [
+        ("a", 1), ("b.example", 8080),
+    ]
+    clock = [0.0]
+    alive = {("a", 1): True, ("b", 2): True}
+    pool = ProxyPool(
+        [("a", 1), ("b", 2)],
+        tester=lambda h, p: alive[(h, p)],
+        clock=lambda: clock[0],
+        ttl_s=10.0,
+        review_retired_s=60.0,
+    )
+    # FIFO rotation
+    assert pool.poll().address == ("a", 1)
+    assert pool.poll().address == ("b", 2)
+    assert pool.poll().address == ("a", 1)
+    # expiry triggers a re-test; dead entries retire
+    alive[("b", 2)] = False
+    clock[0] = 11.0
+    assert pool.poll().address == ("a", 1)  # b tested dead, retired
+    assert pool.size() == 1 and pool.retired_size() == 1
+    # transport-failure retire (and the tester agrees it is down, so
+    # the exhausted-pool review can't immediately resurrect it)
+    e = pool.poll()
+    alive[("a", 1)] = False
+    pool.retire(e)
+    assert pool.exhausted()
+    # exhausted + nothing recovers -> NoProxyError
+    with pytest.raises(NoProxyError):
+        pool.poll()
+    # recovery: b comes back, review returns it to the pool
+    alive[("b", 2)] = True
+    assert pool.review_retired(force=True) == 1
+    assert pool.poll().address == ("b", 2)
+
+
+def test_spark_fetch_through_proxy_pool(spark):
+    """fetch.mode=PROXY: a pool with a dead proxy first still fetches
+    everything — the dead entry is retired per partition and traffic
+    flows through the live testbed proxy."""
+    live = TestbedProxyServer()
+    try:
+        h, p = live.address
+        urls = [f"http://pool{i}.test/page/{i}.html" for i in range(6)]
+        df = spark.createDataFrame([(u,) for u in urls], ["url"]).repartition(2)
+        out = fetch_http_urls(
+            df, proxy_pool=[("127.0.0.1", 1), (h, p)], timeout_s=3.0
+        ).toPandas()
+        assert (out["code"] == 200).all()
+        for u in urls:
+            row = out[out["url"] == u].iloc[0]
+            assert f"URI: {u}" in bytes(row["content"]).decode()
+    finally:
+        live.close()

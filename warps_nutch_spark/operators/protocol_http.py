@@ -126,6 +126,7 @@ def _fetch_one_http(
     max_retry: int,
     sessions: dict,
     proxy: tuple[str, int] | None = None,
+    pool=None,
 ) -> dict:
     import http.client
     import socket
@@ -167,6 +168,20 @@ def _fetch_one_http(
 
     last_exc: Exception | None = None
     for _attempt in range(max(1, max_retry)):
+        entry = None
+        if pool is not None:
+            # fetch.mode=PROXY (HttpBase.java:147-151): rotate the
+            # partition's pool; a transport failure retires the entry
+            try:
+                entry = pool.poll()
+            except Exception as e:  # NoProxyError: exhausted
+                last_exc = e
+                break
+            proxy = entry.address
+            if p.scheme == "https":
+                key = ("proxy", *proxy, p.hostname, p.port)
+            else:
+                key = ("proxy", *proxy)
         conn = sessions.get(key)
         try:
             if conn is None:
@@ -226,6 +241,8 @@ def _fetch_one_http(
                     conn.close()
             except Exception:
                 pass
+            if entry is not None:
+                pool.retire(entry)  # dead proxy: evict, retry via the next
 
     # retries exhausted: classify like HttpBase.java:260-272
     if isinstance(last_exc, socket.gaierror):
@@ -248,6 +265,7 @@ def fetch_http_urls(
     max_retry: int = 3,
     proxy_host: str | None = None,
     proxy_port: int = 8080,
+    proxy_pool: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Fetch a DataFrame of ``http(s)://`` URLs -> protocol responses
     (code, truncated content, true Content-Length, Last-Modified,
@@ -256,14 +274,24 @@ def fetch_http_urls(
     ``proxy_host``/``proxy_port`` route every request through an HTTP
     proxy (the ``http.proxy.host``/``http.proxy.port`` knobs,
     ``HttpBase.java:145-151`` — useProxy when the host is set), e.g.
-    the :class:`.testbed_proxy.TestbedProxyServer` fake web."""
+    the :class:`.testbed_proxy.TestbedProxyServer` fake web.
+    ``proxy_pool`` is the ``fetch.mode=PROXY`` path instead: a list of
+    ``(host, port)`` proxies rotated per partition with dead-proxy
+    retirement and periodic recovery (``net/proxy/ProxyPool.java``;
+    see :mod:`.proxy_pool`)."""
     cols = [url_col] + ([modified_col] if modified_col else [])
     proj = df.select(*cols)
     mod_name = modified_col
     proxy = (proxy_host, int(proxy_port)) if proxy_host else None
+    pool_list = [(h, int(p)) for h, p in proxy_pool] if proxy_pool else None
 
     def _batch(it):
         sessions: dict = {}
+        pool = None
+        if pool_list:
+            from .proxy_pool import ProxyPool
+
+            pool = ProxyPool(pool_list)  # per-partition rotation state
         try:
             for pdf in it:
                 rows = []
@@ -282,6 +310,7 @@ def fetch_http_urls(
                             max_retry,
                             sessions,
                             proxy,
+                            pool,
                         )
                     )
                 yield pd.DataFrame(

@@ -2875,6 +2875,98 @@ FROM coarse ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+# ===========================================================================
+# EncodingDetector clue priority (util/EncodingDetector.java): header
+# charset > meta http-equiv > HTML5 meta > BOM > windows-1252 default,
+# with the reference's alias table — one codegen Column, no UDF
+# ===========================================================================
+def q_detect_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.encoding import sniff_encoding_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    arm = (F.col("doc_id") % 5).cast("int")
+    header = F.when(arm == 0, F.lit("text/html; charset=UTF-8")).otherwise(
+        F.lit("text/html")
+    )
+    body = (
+        F.when(
+            arm.isin(0, 1),
+            F.lit(
+                "<html><head><meta http-equiv='Content-Type'"
+                " content='text/html; charset=ISO-8859-1'></head>"
+                "<body>x</body></html>"
+            ),
+        )
+        .when(
+            arm == 2,
+            F.lit('<html><head><meta charset="EUC-KR"></head><body>x</body></html>'),
+        )
+        .otherwise(F.lit("plain text body"))
+    )
+    content = F.when(
+        arm == 3, F.concat(F.lit(b"\xff\xfe"), F.encode(body, "UTF-8"))
+    ).otherwise(F.encode(body, "UTF-8"))
+    return docs.select(
+        "doc_id", sniff_encoding_col(content, header).alias("encoding")
+    )
+
+
+ORACLE_DETECT_ENCODING = """
+SELECT doc_id,
+  CASE CAST(doc_id % 5 AS INTEGER)
+    WHEN 0 THEN 'utf-8'          -- header clue beats the meta tag
+    WHEN 1 THEN 'windows-1252'   -- meta iso-8859-1 -> alias
+    WHEN 2 THEN 'x-windows-949'  -- HTML5 meta euc-kr -> alias
+    WHEN 3 THEN 'utf-16le'       -- BOM
+    ELSE 'windows-1252'          -- parser.character.encoding.default
+  END AS encoding
+FROM documents
+"""
+
+
+# ===========================================================================
+# DomainStatistics tool (util/domain/DomainStatistics.java): per-domain
+# fetched-page counts + FETCHED/NOT_FETCHED pseudo-key totals, inverted
+# (cnt, key) output — one map-side-combinable groupBy
+# ===========================================================================
+def q_domain_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.status import CrawlStatus
+    from .sources.readers import domain_statistics
+
+    fr = (
+        derived_frontier(spark, sf_dir)
+        .withColumn(
+            "host",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.concat(F.lit("www."), F.col("host"))
+            ).otherwise(F.col("host")),
+        )
+        .withColumn(
+            "status",
+            F.when(
+                F.col("doc_id") % 3 != 0, F.lit(CrawlStatus.FETCHED)
+            ).otherwise(F.lit(CrawlStatus.UNFETCHED)),
+        )
+    )
+    return domain_statistics(fr, mode="domain")
+
+
+ORACLE_DOMAIN_STATISTICS = f"""
+WITH {FRONTIER_SQL},
+fr AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'www.' || host ELSE host END AS host,
+         doc_id % 3 <> 0 AS fetched
+  FROM frontier
+),
+keys AS (
+  SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS key FROM fr WHERE fetched
+  UNION ALL SELECT 'FETCHED' FROM fr WHERE fetched
+  UNION ALL SELECT 'NOT_FETCHED' FROM fr WHERE NOT fetched
+)
+SELECT count(*) AS cnt, key FROM keys GROUP BY key
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -2926,6 +3018,8 @@ EXT_QUERIES = {
     "db_query": q_db_query,
     "dedup_incremental": q_dedup_incremental,
     "embedding_sq8_topk": q_embedding_sq8_topk,
+    "detect_encoding": q_detect_encoding,
+    "domain_statistics": q_domain_statistics,
 }
 
 EXT_ORACLES = {
@@ -2980,4 +3074,6 @@ EXT_ORACLES = {
     "db_query": ORACLE_DB_QUERY,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "embedding_sq8_topk": ORACLE_EMBEDDING_SQ8_TOPK,
+    "detect_encoding": ORACLE_DETECT_ENCODING,
+    "domain_statistics": ORACLE_DOMAIN_STATISTICS,
 }

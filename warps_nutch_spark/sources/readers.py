@@ -98,3 +98,37 @@ def build_host_table(frontier: DataFrame) -> DataFrame:
         F.min("distance").alias("min_distance"),
         F.max(F.col("is_seed").cast("int")).cast("boolean").alias("has_seed"),
     )
+
+
+def domain_statistics(frontier: DataFrame, mode: str = "domain") -> DataFrame:
+    """DomainStatistics tool (``util/domain/DomainStatistics.java``):
+    per-key page counts over FETCHED rows — key = host | registered
+    domain | suffix (TLD) by ``mode`` — plus the FETCHED / NOT_FETCHED
+    totals the mapper emits as pseudo-keys; the reducer inverts the
+    pair, so the output is (cnt, key). One map-side-combinable groupBy
+    (the MR combiner's role is Spark's partial aggregation)."""
+    from ..functions.status import CrawlStatus
+    from ..functions.urlfilters import tld_col
+    from ..functions.urls import domain_col
+
+    if mode == "host":
+        key = F.col("host")
+    elif mode == "domain":
+        key = domain_col(F.col("host"))
+    elif mode == "suffix":
+        key = tld_col(F.col("url"))
+    else:
+        raise ValueError(f"mode must be host|domain|suffix, got {mode!r}")
+    fetched = F.col("status") == CrawlStatus.FETCHED
+    keyed = frontier.select(
+        F.when(fetched, key).otherwise(F.lit("NOT_FETCHED")).alias("key")
+    )
+    totals = frontier.select(
+        F.when(fetched, F.lit("FETCHED")).otherwise(F.lit("NOT_FETCHED")).alias(
+            "key"
+        )
+    )
+    # the mapper emits BOTH the per-key row and the FETCHED pseudo-key
+    # for fetched rows; NOT_FETCHED rows emit only the pseudo-key
+    rows = keyed.filter(F.col("key") != "NOT_FETCHED").unionByName(totals)
+    return rows.groupBy("key").agg(F.count("*").alias("cnt")).select("cnt", "key")
