@@ -445,6 +445,17 @@ def cmd_reports(spark, args) -> int:
     return 0
 
 
+def cmd_seedgen(spark, args) -> int:
+    """``seedgen`` verb (``crawl/SeedGenerator.java``): expand a
+    ``{{{min,max}}}`` URL template into a seed file."""
+    from .operators.inject import seeds_from_template
+
+    df = seeds_from_template(spark, args.format)
+    df.write.mode("overwrite").text(args.out)
+    print(json.dumps({"seeds": df.count(), "out": args.out}))
+    return 0
+
+
 def cmd_parsechecker(spark, args) -> int:
     parsed, res = _check_one_url(spark, args)
     r = res.collect()[0]
@@ -608,6 +619,10 @@ def make_parser() -> argparse.ArgumentParser:
     rp.add_argument("--web", default="8,120,42")
     rp.add_argument("--host-buckets", dest="host_buckets", type=int, default=8)
 
+    sg = sub.add_parser("seedgen", help="expand a {{{min,max}}} url template")
+    sg.add_argument("--format", required=True)
+    sg.add_argument("--out", required=True)
+
     for name in ("parsechecker", "indexchecker"):
         ck = sub.add_parser(name, help=f"{name} for a given url")
         ck.add_argument("--url", required=True)
@@ -630,6 +645,7 @@ COMMANDS = {
     "testbedproxy": cmd_testbedproxy,
     "resolveurls": cmd_resolveurls,
     "reports": cmd_reports,
+    "seedgen": cmd_seedgen,
     "parsechecker": cmd_parsechecker,
     "indexchecker": cmd_indexchecker,
 }

@@ -114,3 +114,23 @@ def inject(
     updates = existing.select(*seed_rows.columns).unionByName(new)
     store.merge(updates, {"op": "inject", "batch_id": batch_id})
     return updates
+
+
+def seeds_from_template(spark: SparkSession, url_format: str) -> DataFrame:
+    """SeedGenerator (``crawl/SeedGenerator.java``): expand one
+    ``prefix{{{min,max}}}suffix`` numeric-range placeholder into a seed
+    URL list — ``spark.range(min, max+1)`` so a billion-URL seed set
+    generates distributed, never driver-side. Returns a ``value``
+    column (the seed-file line shape ``parse_seed_lines`` consumes)."""
+    import re
+
+    m = re.search(r"\{\{\{(\d+),(\d+)\}\}\}", url_format)
+    if not m:
+        raise ValueError("url_format needs one {{{min,max}}} placeholder")
+    lo, hi = int(m.group(1)), int(m.group(2))
+    prefix, suffix = url_format[: m.start()], url_format[m.end():]
+    return spark.range(lo, hi + 1).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string"), F.lit(suffix)).alias(
+            "value"
+        )
+    )
