@@ -292,7 +292,18 @@ def minhash_band_table(
     r = n_hashes // n_bands
     sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col, dedup=False)
     # min over md5(shingle || ':i') is an order-free, engine-agnostic
-    # stand-in for the classic universal-hash family
+    # stand-in for the classic universal-hash family.
+    #
+    # Shape note (A/B-measured at sf0.1, warm: 2.6 s vs 3.8 s for the
+    # full pairs pipeline): explode + groupBy BEATS the zero-shuffle
+    # array-domain form (array_min over a transform of the shingle
+    # array) here, for two reasons — the min partially aggregates
+    # map-side so the shuffle carries O(docs) rows, not O(shingles);
+    # and the banded SELF-join reuses this aggregate's exchange
+    # (ReusedExchange — the signatures compute ONCE), whereas the
+    # array-domain plan recomputes every md5 on BOTH join sides. The
+    # array-domain trick wins only for single-consumer plans (langid,
+    # rolling_fingerprint).
     mh = sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
