@@ -129,7 +129,15 @@ def run_stream_incremental_dedup(
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         bands = minhash_bands_row_local(batch_df, id_col=id_col, **band_kw)
         verdicts = minhash_incremental_dedup(bands, corpus_bands, id_col=id_col)
-        verdicts.write.mode("append").parquet(out_dir)
+        # batch-keyed OVERWRITE, never a blind append: foreachBatch can
+        # replay a batch after a crash between the write and the
+        # checkpoint commit; the replay rewrites its own partition dir
+        # instead of duplicating rows (same invariant as the round
+        # driver's payload writes). Readers see ingest_batch as a
+        # partition column of out_dir.
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"ingest_batch={int(batch_id)}")
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(_admit)
