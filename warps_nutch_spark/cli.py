@@ -413,8 +413,20 @@ def cmd_resolveurls(spark, args) -> int:
     df = spark.read.text(args.urls).withColumnRenamed("value", "url")
     out = resolve_urls(df)
     if args.dump:
-        for r in out.collect():
+        # ONE resolution pass: derive the summary from the collected
+        # rows (recomputing the plan would resolve every host twice
+        # and could disagree with the dumped rows)
+        rows = out.collect()
+        for r in rows:
             print(json.dumps(r.asDict()))
+        total = len(rows)
+        ok = sum(1 for r in rows if r["resolved"])
+        ms = sum(r["millis"] for r in rows)
+        print(json.dumps({
+            "total": total, "resolved": ok, "errored": total - ok,
+            "avg_millis": (ms // total) if total else 0,
+        }))
+        return 0
     print(json.dumps(resolve_summary(out)))
     return 0
 
@@ -426,11 +438,16 @@ def cmd_reports(spark, args) -> int:
     from .metrics import NutchMetrics
     from .plans.round import RoundDriver
 
+    from pyspark.sql import functions as F
+
     drv = RoundDriver(spark, args.workdir, _cfg_from_args(args), _web_params(args))
     m = NutchMetrics(args.out or os.path.join(args.workdir, "reports"))
     unreachable = drv.unreachable_hosts()
     n_hosts = m.write_unreachable_hosts(unreachable) if unreachable is not None else 0
     fr = drv.store.read()
+    if args.batch:
+        # per-batch report = only rows last updated by that batch
+        fr = fr.filter(F.col("updated_batch") == args.batch)
     suffix = args.batch or "all"
     print(
         json.dumps(

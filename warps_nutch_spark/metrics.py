@@ -34,6 +34,7 @@ class NutchMetrics:
         # pass the crawl's virtual day instead
         self.dir = os.path.join(report_dir, day)
         os.makedirs(self.dir, exist_ok=True)
+        self._written: set[str] = set()
         self.unreachable_hosts_path = os.path.join(
             self.dir, FILE_UNREACHABLE_HOSTS
         )
@@ -56,10 +57,17 @@ class NutchMetrics:
             f.write("\n".join(merged) + ("\n" if merged else ""))
         return len(merged)
 
-    # -- append-only reports ---------------------------------------------
+    # -- report files ------------------------------------------------------
+    # The engine appends as events happen (the reference's streaming
+    # writers); a REGENERATED report (the `reports` CLI verb rebuilding
+    # from state) must truncate first or re-running duplicates every
+    # line — each NutchMetrics instance overwrites a file on its first
+    # write and appends within its own lifetime.
     def _append(self, name: str, lines) -> int:
+        mode = "a" if name in self._written else "w"
+        self._written.add(name)
         n = 0
-        with open(os.path.join(self.dir, name), "a") as f:
+        with open(os.path.join(self.dir, name), mode) as f:
             for ln in lines:
                 f.write(ln)
                 n += 1

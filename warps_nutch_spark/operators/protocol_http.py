@@ -194,6 +194,18 @@ def _fetch_one_http(
                     conn = cls(proxy[0], proxy[1], timeout=timeout_s)
                     if p.scheme == "https":
                         conn.set_tunnel(p.hostname, p.port)
+                    # connect (and CONNECT-tunnel) eagerly: THIS failing
+                    # is proxy-side and retires the entry; errors after a
+                    # successful connect are the origin's fault and must
+                    # NOT drain the pool (a few bad origins would
+                    # otherwise retire every healthy proxy)
+                    try:
+                        conn.connect()
+                    except Exception:
+                        if entry is not None:
+                            pool.retire(entry)
+                            entry = None
+                        raise
                 else:
                     conn = cls(p.hostname, p.port, timeout=timeout_s)
                 sessions[key] = conn
@@ -241,8 +253,9 @@ def _fetch_one_http(
                     conn.close()
             except Exception:
                 pass
-            if entry is not None:
-                pool.retire(entry)  # dead proxy: evict, retry via the next
+            # NOTE: the proxy entry is retired only in the eager-connect
+            # branch above (proxy-side failure); post-connect errors are
+            # origin-side and keep the proxy live
 
     # retries exhausted: classify like HttpBase.java:260-272
     if isinstance(last_exc, socket.gaierror):

@@ -107,11 +107,15 @@ class ProxyPool:
     def poll(self) -> ProxyEntry:
         """Next live proxy (FIFO, the entry goes to the back — the
         ProxyPool poll/put cycle); expired entries are re-tested and
-        dead ones retired. Raises NoProxyError when exhausted after
-        the retired review."""
+        dead ones retired. Every poll also gives retired entries their
+        rate-limited recovery review (the ProxyUpdateThread's role —
+        without it a burst of retirements would collapse the pool
+        permanently even after the proxies recover). Raises
+        NoProxyError when exhausted after the review."""
+        self.review_retired(force=False)
         while True:
             if not self._live:
-                self.review_retired(force=False)
+                self.review_retired(force=True)
             if not self._live:
                 raise NoProxyError("proxy pool exhausted")
             e = self._live.pop(0)

@@ -65,10 +65,16 @@ _STAGE_OF = {"GENERATE": "generate", "FETCH": "fetch", "PARSE": "parse",
 
 def default_config_map() -> dict[str, str]:
     """The default CrawlConfig flattened to a string property map (the
-    ConfManagerImpl seeded NutchConfiguration analog)."""
+    ConfManagerImpl seeded NutchConfiguration analog). Only scalar
+    fields flatten — container-typed fields (dict/list defaults) can't
+    round-trip through string properties and keep their dataclass
+    defaults instead."""
+    defaults = CrawlConfig()
     out: dict[str, str] = {}
     for f in dataclasses.fields(CrawlConfig):
-        v = getattr(CrawlConfig(), f.name)
+        v = getattr(defaults, f.name)
+        if isinstance(v, (dict, list, set, tuple)):
+            continue
         out[f.name] = str(v).lower() if isinstance(v, bool) else str(v)
     return out
 
@@ -76,16 +82,20 @@ def default_config_map() -> dict[str, str]:
 def config_from_map(props: dict[str, str]) -> CrawlConfig:
     """Typed CrawlConfig from a property map; unknown keys ride along
     for user code but don't reach the dataclass."""
+    defaults = CrawlConfig()
     kw: dict[str, Any] = {}
     for f in dataclasses.fields(CrawlConfig):
         if f.name not in props:
             continue
         raw = props[f.name]
-        if f.type == "bool" or isinstance(getattr(CrawlConfig(), f.name), bool):
+        default_v = getattr(defaults, f.name)
+        if isinstance(default_v, (dict, list, set, tuple)):
+            continue  # container fields never flatten (see above)
+        if isinstance(default_v, bool):
             kw[f.name] = str(raw).strip().lower() in ("true", "1", "yes")
-        elif isinstance(getattr(CrawlConfig(), f.name), int):
+        elif isinstance(default_v, int):
             kw[f.name] = int(raw)
-        elif isinstance(getattr(CrawlConfig(), f.name), float):
+        elif isinstance(default_v, float):
             kw[f.name] = float(raw)
         else:
             kw[f.name] = raw
@@ -197,7 +207,15 @@ class JobManager:
         crawl_id = job_config.get("crawlId") or "default"
         with self._lock:
             for info in self._jobs.values():
-                if info.conf_id == conf_id and info.state in (RUNNING, IDLE, STOPPING):
+                # a KILLED job's thread may still be unwinding (Spark
+                # cancellation is asynchronous); admission must wait for
+                # the worker to actually exit or two jobs could write
+                # the same workdir concurrently
+                t = self._threads.get(info.id)
+                busy = info.state in (RUNNING, IDLE, STOPPING) or (
+                    t is not None and t.is_alive()
+                )
+                if info.conf_id == conf_id and busy:
                     raise RuntimeError(
                         f"Another running job using config : {conf_id}"
                     )
@@ -219,7 +237,7 @@ class JobManager:
         with self._lock:
             infos = list(self._jobs.values())
         if state and state != ANY:
-            if state in (RUNNING, IDLE):
+            if state in (RUNNING, IDLE, STOPPING):
                 infos = [i for i in infos if i.state in (RUNNING, IDLE, STOPPING)]
             else:
                 infos = [i for i in infos
@@ -310,8 +328,13 @@ class JobManager:
         except Exception:
             pass
         with self._lock:
-            if info.state == IDLE:
-                info.state = RUNNING
+            if info.state == KILLED:
+                return  # aborted before the worker started
+            if info.state == STOPPING:
+                info.state = FINISHED
+                info.msg = "stopped before start"
+                return
+            info.state = RUNNING
         drv = None
         try:
             drv = self._driver(info)

@@ -120,15 +120,18 @@ def domain_statistics(frontier: DataFrame, mode: str = "domain") -> DataFrame:
     else:
         raise ValueError(f"mode must be host|domain|suffix, got {mode!r}")
     fetched = F.col("status") == CrawlStatus.FETCHED
-    keyed = frontier.select(
-        F.when(fetched, key).otherwise(F.lit("NOT_FETCHED")).alias("key")
+    # the mapper emits BOTH the per-key row and the FETCHED pseudo-key
+    # for fetched rows; NOT_FETCHED rows emit only the pseudo-key. A
+    # fetched row whose key extraction fails groups under the empty
+    # string (the reference still writes it and bumps EMPTY_RESULT) so
+    # sum(per-key cnt) always equals the FETCHED total.
+    keyed = frontier.filter(fetched).select(
+        F.coalesce(key, F.lit("")).alias("key")
     )
     totals = frontier.select(
         F.when(fetched, F.lit("FETCHED")).otherwise(F.lit("NOT_FETCHED")).alias(
             "key"
         )
     )
-    # the mapper emits BOTH the per-key row and the FETCHED pseudo-key
-    # for fetched rows; NOT_FETCHED rows emit only the pseudo-key
-    rows = keyed.filter(F.col("key") != "NOT_FETCHED").unionByName(totals)
+    rows = keyed.unionByName(totals)
     return rows.groupBy("key").agg(F.count("*").alias("cnt")).select("cnt", "key")
