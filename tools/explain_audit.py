@@ -358,6 +358,28 @@ def main():
          "Exchange rangepartitioning" not in sq8_plan)
     )
 
+    # charset detection + domain statistics: pure column plans — the
+    # encoding sniff must stay UDF-free (one codegen span), and the
+    # domain stats groupBy must partially aggregate (no second shuffle)
+    enc_plan = formatted(_Q["detect_encoding"](spark, sf_dir))
+    sections.append(("detect_encoding", enc_plan))
+    checks.append(
+        ("detect_encoding", "no Python eval (pure codegen columns)",
+         "BatchEvalPython" not in enc_plan and "MapInPandas" not in enc_plan)
+    )
+    checks.append(("detect_encoding", "no Exchange", "Exchange" not in enc_plan))
+
+    ds_plan = formatted(_Q["domain_statistics"](spark, sf_dir))
+    sections.append(("domain_statistics", ds_plan))
+    checks.append(
+        ("domain_statistics", "partial aggregation before the shuffle",
+         "partial" in ds_plan.lower())
+    )
+    checks.append(
+        ("domain_statistics", "single shuffle (union + one groupBy)",
+         ds_plan.count("Exchange hashpartitioning") <= 1)
+    )
+
     out = ["# PLANS — physical-plan audit\n"]
     out.append("| plan | check | ok |\n|---|---|---|\n")
     for name, check, ok in checks:
