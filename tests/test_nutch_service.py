@@ -210,3 +210,33 @@ def test_admin_stop_lifecycle(spark, tmp_path_factory):
     while time.time() < deadline and not srv._stopped.is_set():
         time.sleep(0.05)
     assert srv._stopped.is_set()
+
+
+def test_error_paths(client, master):
+    import urllib.error
+    import urllib.request
+
+    # /db on a crawlId with no store -> empty result, not an error
+    assert client.db_query(crawlId="nonexistent")["values"] == []
+    # unknown config -> empty map; property lookup -> null
+    assert client.get_config("no-such-config") == {}
+    # seed create with no urls -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client.create_seed([])
+    assert ei.value.code == 400
+    # job create with missing args -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client._call("POST", "/job/create", {"type": "READDB"})
+    assert ei.value.code == 400
+    # job create with unknown confId -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client.create_job("READDB", {}, conf_id="ghost")
+    assert ei.value.code == 400
+    # unknown route -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client._call("GET", "/nope")
+    assert ei.value.code == 404
+    # bad db filter key type -> 400, not a server crash
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client.db_query(crawlId="stagecrawl", startKey="not a url")
+    assert ei.value.code == 400
