@@ -126,6 +126,7 @@ _FRONT = [
     "embedding_sq8_topk",
     "detect_encoding",
     "domain_statistics",
+    "spellchecked_headers",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
 ]

@@ -2967,6 +2967,67 @@ SELECT count(*) AS cnt, key FROM keys GROUP BY key
 """
 
 
+# ===========================================================================
+# SpellCheckedMetadata header-name correction
+# (metadata/SpellCheckedMetadata.java getNormalizedName: letters-only
+# lowercase, exact lookup, then Levenshtein < len/3 against the
+# HttpHeaders constants; deterministic (d, name)-min tie-break)
+# ===========================================================================
+def q_spellchecked_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.headers import spellchecked_header_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    arm = (F.col("doc_id") % 6).cast("int")
+    raw = (
+        F.when(arm == 0, F.lit("content-typ"))          # fuzzy d=1
+        .when(arm == 1, F.lit("Last-Modifed"))          # fuzzy d=1
+        .when(arm == 2, F.lit("Content_Length"))        # exact after norm
+        .when(arm == 3, F.lit("X-Custom-Header"))       # no match
+        .when(arm == 4, F.lit("LOCATION"))              # exact after norm
+        .otherwise(F.lit("Trasnfer-Encoding"))          # fuzzy d=2
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_name"),
+        spellchecked_header_col(raw).alias("header"),
+    )
+
+
+ORACLE_SPELLCHECKED_HEADERS = """
+WITH canon(v) AS (
+  VALUES ('Content-Disposition'), ('Content-Encoding'),
+         ('Content-Language'), ('Content-Length'), ('Content-Location'),
+         ('Content-Type'), ('Last-Modified'), ('License'), ('Location'),
+         ('Transfer-Encoding')
+),
+raw AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN 'content-typ' WHEN 1 THEN 'Last-Modifed'
+      WHEN 2 THEN 'Content_Length' WHEN 3 THEN 'X-Custom-Header'
+      WHEN 4 THEN 'LOCATION' ELSE 'Trasnfer-Encoding'
+    END AS raw_name
+  FROM documents
+),
+scored AS (
+  SELECT r.doc_id, r.raw_name, c.v,
+    levenshtein(lower(regexp_replace(r.raw_name, '[^a-zA-Z]', '', 'g')),
+                lower(regexp_replace(c.v, '[^a-zA-Z]', '', 'g'))) AS d,
+    CAST(floor(length(regexp_replace(r.raw_name, '[^a-zA-Z]', '', 'g')) / 3)
+         AS INTEGER) AS thr
+  FROM raw r CROSS JOIN canon c
+),
+best AS (
+  SELECT doc_id, raw_name, v,
+    row_number() OVER (PARTITION BY doc_id ORDER BY d, v) AS rn
+  FROM scored WHERE d = 0 OR d < thr
+)
+SELECT r.doc_id, r.raw_name, COALESCE(b.v, r.raw_name) AS header
+FROM raw r LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON r.doc_id = b.doc_id
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -3020,6 +3081,7 @@ EXT_QUERIES = {
     "embedding_sq8_topk": q_embedding_sq8_topk,
     "detect_encoding": q_detect_encoding,
     "domain_statistics": q_domain_statistics,
+    "spellchecked_headers": q_spellchecked_headers,
 }
 
 EXT_ORACLES = {
@@ -3076,4 +3138,5 @@ EXT_ORACLES = {
     "embedding_sq8_topk": ORACLE_EMBEDDING_SQ8_TOPK,
     "detect_encoding": ORACLE_DETECT_ENCODING,
     "domain_statistics": ORACLE_DOMAIN_STATISTICS,
+    "spellchecked_headers": ORACLE_SPELLCHECKED_HEADERS,
 }
