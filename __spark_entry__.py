@@ -91,48 +91,18 @@ def _crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW = 50
 
 _FRONT = [
-    # round-3 surfaces with no driver row yet (fell past the r3 window)
-    "phash_hamming_pairs",
-    "dedup_components",
-    "linkrank_scores",
-    "parse_metatags",
-    "subcollection_cc",
-    "embedding_sim_join",
-    "js_outlinks",
-    "feed_items",
-    "image_dedup_components",
-    # rewritten/never-checked after their last driver-green row
-    "rolling_fingerprint",
-    "dedup_simhash_jaccard",
-    "embedding_ivf_topk",
-    # modified this round (index-metadata/index-more fields; pHash n_bands=8)
-    "index_documents",
-    # new this round (indexed IVF similarity join; parse-swf; parse-html)
-    "embedding_sim_join_indexed",
-    "parse_swf",
-    "parse_html",
-    "parse_robots",
-    "text_outlinks",
-    "parse_dispatch",
-    "dedup_deletes",
-    "arc_records",
-    "dmoz_seeds",
-    "parse_pdf",
-    "parse_office",
-    # new this session (REST admin service /db page semantics;
-    # incremental corpus-vs-batch LSH dedup)
-    "db_query",
-    "dedup_incremental",
-    "embedding_sq8_topk",
-    "detect_encoding",
-    "domain_statistics",
-    "spellchecked_headers",
-    # rows-only E2E — keep the full crawl round under driver eyes
-    "crawl_round",
-]
-
-_BACK = [
-    # green in r1+r2+r3, implementation untouched this round
+    # r5 rotation: every query whose last driver row is r3 (fell past the
+    # r4 window) comes forward for a fresh row — the 9 mid-overflow entries
+    # first, then the 21 veterans rotated out in r4.
+    "inlink_anchors",
+    "host_politeness_override",
+    "politeness_spacing",
+    "urlfilter_validator_tld",
+    "host_link_stats",
+    "frontier_status_stats",
+    "events_sessionized",
+    "salted_host_agg",
+    "salted_join",
     "url_reverse",
     "dedup_exact",
     "text_quality",
@@ -154,6 +124,48 @@ _BACK = [
     "events_windowed",
     "embedding_topk",
     "langid",
+    # rows-only E2E — keep the full crawl round under driver eyes
+    "crawl_round",
+    # new this round (r5)
+    "text_quality_gopher",
+    "parse_msoffice",
+    "crawl_round_counters",
+]
+
+_BACK = [
+    # green in r4 (CORRECTNESS_r04), implementation untouched this round;
+    # pinned byte-identical by tools/rotation_hashes.json +
+    # tests/test_query_oracles.py::test_rotation_hashes
+    "phash_hamming_pairs",
+    "dedup_components",
+    "linkrank_scores",
+    "parse_metatags",
+    "subcollection_cc",
+    "embedding_sim_join",
+    "js_outlinks",
+    "feed_items",
+    "image_dedup_components",
+    "rolling_fingerprint",
+    "dedup_simhash_jaccard",
+    "embedding_ivf_topk",
+    "index_documents",
+    "embedding_sim_join_indexed",
+    "parse_swf",
+    "parse_html",
+    "parse_robots",
+    "text_outlinks",
+    "parse_dispatch",
+    "dedup_deletes",
+    "arc_records",
+    "dmoz_seeds",
+    "parse_pdf",
+    "parse_office",
+    "db_query",
+    "dedup_incremental",
+    "embedding_sq8_topk",
+    "detect_encoding",
+    "domain_statistics",
+    "spellchecked_headers",
 ]
 
 

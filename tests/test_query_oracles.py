@@ -80,6 +80,8 @@ def test_driver_window_rotation():
     order = list(q)
     window = set(order[: mod.DRIVER_WINDOW])
     for name in mod._FRONT:
+        if name not in q:
+            continue  # listed ahead of implementation landing this round
         assert name in window, f"{name} fell outside the driver's 50-row window"
     # rotation must not drop or duplicate anything
     from warps_nutch_spark.queries import ORACLES, QUERIES
@@ -93,3 +95,35 @@ def test_driver_window_rotation():
     # exist in oracle_sql() so the driver hashes it rather than rows-only
     for name in window & set(ORACLES):
         assert name in o
+
+
+def test_rotation_hashes():
+    """Mechanical rotation-safety invariant (VERDICT r4 item 2): every
+    query rotated out of the driver window (not in _FRONT) must be
+    byte-identical to the revision pinned at rotation time in
+    tools/rotation_hashes.json. Editing a rotated-out query without
+    moving it to _FRONT (back under driver eyes) fails here instead of
+    going driver-unseen for a round. Regenerate the pin file ONLY at
+    rotation time: python tools/pin_rotation.py"""
+    import json
+
+    sys_path_tools = "/root/repo/tools"
+    import sys
+
+    if sys_path_tools not in sys.path:
+        sys.path.insert(0, sys_path_tools)
+    import pin_rotation
+
+    with open("/root/repo/tools/rotation_hashes.json") as f:
+        pinned = json.load(f)
+    live = pin_rotation.compute()
+    assert set(live) == set(pinned), (
+        "rotated-out query set drifted from the pin file; if you moved "
+        "queries between _FRONT/_BACK, rerun tools/pin_rotation.py"
+    )
+    stale = [n for n in live if live[n] != pinned[n]]
+    assert not stale, (
+        f"rotated-out queries modified without moving to _FRONT: {stale} "
+        "(move them to _FRONT in __spark_entry__.py so the driver "
+        "re-checks them, then rerun tools/pin_rotation.py)"
+    )
