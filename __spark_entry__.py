@@ -126,6 +126,9 @@ _FRONT = [
     "langid",
     # rows-only E2E — keep the full crawl round under driver eyes
     "crawl_round",
+    # modified this round (HTTP_HEADERS aligned with HttpHeaders.java —
+    # ADVICE r4: +Content-MD5 +Q-*, -License)
+    "spellchecked_headers",
     # new this round (r5)
     "text_quality_gopher",
     "parse_msoffice",
@@ -165,7 +168,6 @@ _BACK = [
     "embedding_sq8_topk",
     "detect_encoding",
     "domain_statistics",
-    "spellchecked_headers",
 ]
 
 

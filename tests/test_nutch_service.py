@@ -218,8 +218,10 @@ def test_error_paths(client, master):
 
     # /db on a crawlId with no store -> empty result, not an error
     assert client.db_query(crawlId="nonexistent")["values"] == []
-    # unknown config -> empty map; property lookup -> null
-    assert client.get_config("no-such-config") == {}
+    # unknown config id -> 404 (KeyError mapping, same as /job, /seed)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client.get_config("no-such-config")
+    assert ei.value.code == 404
     # seed create with no urls -> 400
     with pytest.raises(urllib.error.HTTPError) as ei:
         client.create_seed([])

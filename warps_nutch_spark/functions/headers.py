@@ -24,17 +24,30 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: metadata/HttpHeaders.java public static final String fields
+#: metadata/HttpHeaders.java public static final String fields — the exact
+#: set SpellCheckedMetadata reflects over (SpellCheckedMetadata.java:55
+#: spellthese = { HttpHeaders.class }), including the warps-satellite Q-*
+#: constants (HttpHeaders.java:50-69)
 HTTP_HEADERS = [
     "Content-Disposition",
     "Content-Encoding",
     "Content-Language",
     "Content-Length",
     "Content-Location",
+    "Content-MD5",
     "Content-Type",
     "Last-Modified",
-    "License",
     "Location",
+    "Q-Checksum",
+    "Q-Item-Id",
+    "Q-Job-Id",
+    "Q-Password",
+    "Q-Queue-Id",
+    "Q-Response-Time",
+    "Q-Status-Code",
+    "Q-Url",
+    "Q-Username",
+    "Q-Version",
     "Transfer-Encoding",
 ]
 

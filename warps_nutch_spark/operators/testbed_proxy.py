@@ -174,6 +174,9 @@ class TestbedProxyServer:
         self.forward = forward
         self.delay_ms = delay_ms
         self._delay_r = JavaRandom(1234567890) if delay_ms < 0 else None
+        # handler threads share the LCG (ThreadingHTTPServer): without a
+        # lock the seed update races and the delay sequence corrupts
+        self._delay_lock = threading.Lock()
         self.debug_log: deque = deque(maxlen=10_000) if debug else deque(maxlen=0)
         outer = self
 
@@ -208,11 +211,11 @@ class TestbedProxyServer:
                     outer.debug_log.append(("GET", uri))
                 extra = []
                 if outer.delay_ms:
-                    d = (
-                        outer._delay_r.next_int(-outer.delay_ms)
-                        if outer.delay_ms < 0
-                        else outer.delay_ms
-                    )
+                    if outer.delay_ms < 0:
+                        with outer._delay_lock:
+                            d = outer._delay_r.next_int(-outer.delay_ms)
+                    else:
+                        d = outer.delay_ms
                     time.sleep(d / 1000.0)
                     extra.append(("X-DelayHandler-Delay", str(d)))
                 if outer.forward:

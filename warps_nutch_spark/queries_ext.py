@@ -2997,8 +2997,10 @@ ORACLE_SPELLCHECKED_HEADERS = """
 WITH canon(v) AS (
   VALUES ('Content-Disposition'), ('Content-Encoding'),
          ('Content-Language'), ('Content-Length'), ('Content-Location'),
-         ('Content-Type'), ('Last-Modified'), ('License'), ('Location'),
-         ('Transfer-Encoding')
+         ('Content-MD5'), ('Content-Type'), ('Last-Modified'), ('Location'),
+         ('Q-Checksum'), ('Q-Item-Id'), ('Q-Job-Id'), ('Q-Password'),
+         ('Q-Queue-Id'), ('Q-Response-Time'), ('Q-Status-Code'), ('Q-Url'),
+         ('Q-Username'), ('Q-Version'), ('Transfer-Encoding')
 ),
 raw AS (
   SELECT doc_id,

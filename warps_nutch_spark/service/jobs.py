@@ -48,6 +48,7 @@ KILLED = "KILLED"
 STOPPING = "STOPPING"
 ANY = "ANY"
 NOT_FOUND = "NOT_FOUND"
+TERMINAL_STATES = (FINISHED, FAILED, KILLED)
 
 JOB_TYPES = (
     "INJECT",
@@ -122,7 +123,9 @@ class ConfManager:
 
     def get_as_map(self, conf_id: str) -> dict[str, str]:
         with self._lock:
-            return dict(self._configs.get(conf_id, {}))
+            if conf_id not in self._configs:
+                raise KeyError(f"Unknown configId <{conf_id}>")
+            return dict(self._configs[conf_id])
 
     def set_property(self, conf_id: str, name: str, value: str) -> None:
         with self._lock:
@@ -206,6 +209,15 @@ class JobManager:
             raise ValueError(f"Unknown confId {conf_id}")
         crawl_id = job_config.get("crawlId") or "default"
         with self._lock:
+            # purge pass (JobManagerImpl calls executor.purge() on every
+            # create): drop thread/stop-flag refs for terminal jobs whose
+            # worker has exited, so a long-lived master doesn't grow
+            # unboundedly and admission doesn't scan dead threads
+            for jid, info in list(self._jobs.items()):
+                t = self._threads.get(jid)
+                if info.state in TERMINAL_STATES and (t is None or not t.is_alive()):
+                    self._threads.pop(jid, None)
+                    self._stop_flags.pop(jid, None)
             for info in self._jobs.values():
                 # a KILLED job's thread may still be unwinding (Spark
                 # cancellation is asynchronous); admission must wait for
