@@ -228,7 +228,9 @@ def main():
     audit(
         "frontier_mor_read",
         st.read(),
-        want=("LeftAnti",),
+        # delta keys under BROADCAST_DELTA_KEYS_MAX: the base side must
+        # NEVER shuffle — lineage-count-driven broadcast hint, not AQE
+        want=("BroadcastHashJoin LeftAnti",),
         forbid=("CartesianProduct",),
     )
 

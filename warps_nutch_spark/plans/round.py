@@ -295,7 +295,32 @@ class RoundDriver:
         t0 = time.time()
         stage_times: dict[str, float] = {}
 
+        # One frontier MOR materialization per round: the store version
+        # is constant from generate until the updatedb merge at the end,
+        # and the merge plan alone references the frontier 2-3x
+        # (existing-row join, new-row anti-join) — without a persist the
+        # base+delta resolution subtree executes once per consumer.
+        # MEMORY_AND_DISK: at 10^10 rows the cache spills instead of
+        # OOMing, and a spilled read still beats re-running the MOR
+        # window + anti-join per consumer.
+        _round_frontier: list[DataFrame] = []
+
+        def _frontier() -> DataFrame:
+            if not _round_frontier:
+                from pyspark import StorageLevel
+
+                _round_frontier.append(
+                    self.store.read().persist(StorageLevel.MEMORY_AND_DISK)
+                )
+            return _round_frontier[0]
+
+        def _release_frontier() -> None:
+            for df in _round_frontier:
+                df.unpersist()
+            _round_frontier.clear()
+
         def _partial(stage: str) -> dict:
+            _release_frontier()
             return {
                 "batch_id": batch_id,
                 "elapsed_sec": time.time() - t0,
@@ -307,7 +332,7 @@ class RoundDriver:
         if not self._done(batch_id, "generate"):
             if not self._stage_data_ok(batch_id, "generate"):
                 fl = gen_op.generate(
-                    self.store.read(), self.cfg, now, batch_id,
+                    _frontier(), self.cfg, now, batch_id,
                     self.unreachable_hosts(), current_round=r,
                     avg_page_bytes=self._avg_page_bytes(),
                 )
@@ -433,7 +458,7 @@ class RoundDriver:
                 merge_rows = self._read_stage(batch_id, "updatedb")
                 counters = self._updatedb_counters(merge_rows, batch_id)
             else:
-                frontier = self.store.read()
+                frontier = _frontier()
                 merge_rows, counters = upd_op.updatedb(
                     frontier, parsed, self.cfg, now, batch_id, self.urlseen,
                     cached_out=cached,
@@ -473,8 +498,10 @@ class RoundDriver:
                 # store's delta snapshot (merge_linked below): the
                 # round's updates hit disk ONCE, not twice
                 merge_rows = self.store.with_bucket(merge_rows.drop("host_bucket"))
-                with python_stage_parallelism(self.spark):
-                    merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
+                # no pandas-UDF stage in the merge plan: let AQE coalesce
+                # by bytes (the python_stage_parallelism pin here was
+                # vestigial and cost ~1 s/round in tiny-task overhead)
+                merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
                 # record the bucket count the artifact was written with so
                 # merge_linked can reject a stale-layout resume artifact
                 self.store.stamp_bucketing(
@@ -507,6 +534,7 @@ class RoundDriver:
                 df.unpersist()
             self._mark_done(batch_id, "updatedb")
         stage_times["updatedb"] = time.time() - t_u
+        _release_frontier()  # merged: the cached MOR view is now stale
 
         elapsed = time.time() - t0
         fetched = fetch_results.filter(F.col("fetched")).count()

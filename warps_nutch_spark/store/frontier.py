@@ -67,12 +67,18 @@ class ParquetFrontierStore(FrontierStore):
         spark: SparkSession,
         path: str,
         host_buckets: int = 64,
-        compact_ratio: float = 0.5,
+        compact_ratio: float = 4.0,
+        max_delta_snapshots: int = 8,
     ):
         self.spark = spark
         self.path = path
         self.host_buckets = host_buckets
         self.compact_ratio = compact_ratio
+        # bound on delta snapshots between compactions, independent of
+        # the row ratio: every delta adds a scan + union branch to the
+        # MOR read plan, so a lax row ratio must not let the plan's
+        # delta fan-in grow without limit
+        self.max_delta_snapshots = max_delta_snapshots
         os.makedirs(path, exist_ok=True)
         # the bucket count is part of the on-disk layout: reopening an
         # existing store with a different host_buckets would make
@@ -103,7 +109,7 @@ class ParquetFrontierStore(FrontierStore):
                 )
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str, compact_ratio: float = 0.5):
+    def open(cls, spark: SparkSession, path: str, compact_ratio: float = 4.0):
         """Open an existing store adopting its recorded on-disk layout
         (pure readers — e.g. the REST /db endpoint — must not need to
         know the writer's host_buckets)."""
@@ -176,6 +182,16 @@ class ParquetFrontierStore(FrontierStore):
             F.pmod(F.xxhash64(F.col("host")), F.lit(self.host_buckets)).cast("int"),
         )
 
+    #: broadcast the delta key set into the base anti-join while it is
+    #: small enough (keys are 8-byte hashes; 4M keys ~ tens of MB of
+    #: build-side hash table). Above this, leave the strategy to AQE.
+    BROADCAST_DELTA_KEYS_MAX = 4_000_000
+
+    def _delta_rows(self, deltas: list[int]) -> int:
+        """Total delta rows since the base, from lineage metadata only
+        (no Spark job)."""
+        return sum(self.lineage(dv).get("rows", 0) for dv in deltas)
+
     def read(self) -> DataFrame:
         """MOR scan: base rows not shadowed by a delta key, plus the
         newest delta row per key; tombstoned keys (equality deletes)
@@ -205,7 +221,14 @@ class ParquetFrontierStore(FrontierStore):
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_delta_v")
         )
-        kept = base.join(latest.select("url_hash"), on="url_hash", how="left_anti")
+        delta_keys = latest.select("url_hash")
+        # the delta key count is known from lineage (O(updates) by
+        # construction): hint the broadcast explicitly so the base side
+        # NEVER shuffles at 10^10 rows, AQE present or not (the hint is
+        # what Iceberg MOR relies on AQE for; here we know the count)
+        if self._delta_rows(deltas) <= self.BROADCAST_DELTA_KEYS_MAX:
+            delta_keys = F.broadcast(delta_keys)
+        kept = base.join(delta_keys, on="url_hash", how="left_anti")
         live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
         return kept.unionByName(live.select(*base.columns))
 
@@ -255,7 +278,10 @@ class ParquetFrontierStore(FrontierStore):
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_delta_v")
         )
-        kept = base.join(latest.select("url_hash"), on="url_hash", how="left_anti")
+        delta_keys = latest.select("url_hash")
+        if self._delta_rows(deltas) <= self.BROADCAST_DELTA_KEYS_MAX:
+            delta_keys = F.broadcast(delta_keys)
+        kept = base.join(delta_keys, on="url_hash", how="left_anti")
         live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
         return kept.unionByName(live.select(*base.columns)).filter(
             F.col("host") == host
@@ -297,7 +323,10 @@ class ParquetFrontierStore(FrontierStore):
         base_rows = self.lineage(base_v).get("rows", 0)
         delta_rows = sum(self.lineage(dv).get("rows", 0) for dv in deltas)
         delta_rows += self.lineage(v).get("rows", 0)
-        if delta_rows > self.compact_ratio * max(base_rows, 1):
+        if (
+            delta_rows > self.compact_ratio * max(base_rows, 1)
+            or len(deltas) + 1 > self.max_delta_snapshots
+        ):
             self.compact()
         return self.current_version()
 
@@ -382,7 +411,10 @@ class ParquetFrontierStore(FrontierStore):
         self._commit_version(v, meta)
         base_rows = self.lineage(base_v).get("rows", 0)
         delta_rows = sum(self.lineage(dv).get("rows", 0) for dv in deltas) + rows
-        if delta_rows > self.compact_ratio * max(base_rows, 1):
+        if (
+            delta_rows > self.compact_ratio * max(base_rows, 1)
+            or len(deltas) + 1 > self.max_delta_snapshots
+        ):
             self.compact()
         return self.current_version()
 
@@ -505,7 +537,10 @@ class ParquetFrontierStore(FrontierStore):
             .drop("_rn", "_delta_v")
         )
         tb = base if not untouched else base.filter(F.col("host_bucket").isin(touched))
-        kept = tb.join(latest.select("url_hash"), on="url_hash", how="left_anti")
+        delta_keys = latest.select("url_hash")
+        if self._delta_rows(deltas) <= self.BROADCAST_DELTA_KEYS_MAX:
+            delta_keys = F.broadcast(delta_keys)
+        kept = tb.join(delta_keys, on="url_hash", how="left_anti")
         live = latest.filter(~F.col("_tombstone")).drop("_tombstone")
         resolved = kept.unionByName(live.select(*tb.columns))
         v = self.current_version() + 1
