@@ -124,7 +124,9 @@ _FRONT = [
     "events_windowed",
     "embedding_topk",
     "langid",
-    # rows-only E2E — keep the full crawl round under driver eyes
+    # the full crawl-round E2E — now with a real oracle (the SimWeb
+    # round is deterministic, so the expected per-status counters are
+    # constants; VERDICT r4 stretch item 9)
     "crawl_round",
     # modified this round (HTTP_HEADERS aligned with HttpHeaders.java —
     # ADVICE r4: +Content-MD5 +Q-*, -License)
@@ -132,7 +134,6 @@ _FRONT = [
     # new this round (r5)
     "text_quality_gopher",
     "parse_msoffice",
-    "crawl_round_counters",
 ]
 
 _BACK = [
@@ -204,8 +205,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _with_worker_imports(fn) for k, fn in _rotated(out).items()}
 
 
+# The _crawl_round entry is fully deterministic: SimWeb(8, 120, 42),
+# 3 seeds, top_n=400/max_per_host=80, 2 rounds always yields these
+# per-status frontier counters (status codes: 1=UNFETCHED 2=FETCHED
+# 3=GONE 5=REDIR_TEMP 34=RETRY). Aggregate counts are partitioning-
+# independent, so the expectation holds on any session/config.
+_CRAWL_ROUND_ORACLE = """
+SELECT * FROM (VALUES (1, 234), (2, 101), (3, 10), (5, 2), (34, 3))
+AS t(status, n) ORDER BY status
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from warps_nutch_spark.queries import ORACLES
 
-    # crawl_round intentionally omitted (rows-only)
-    return _rotated(dict(ORACLES))
+    out = dict(ORACLES)
+    out["crawl_round"] = _CRAWL_ROUND_ORACLE
+    return _rotated(out)

@@ -89,8 +89,10 @@ def test_driver_window_rotation():
     assert set(order) == set(QUERIES) | {"crawl_round"}
     assert len(order) == len(QUERIES) + 1
     # oracle dict mirrors the rotation and stays aligned with queries()
+    # (crawl_round gained a constant-VALUES oracle in r5: the SimWeb
+    # round is deterministic)
     o = mod.oracle_sql()
-    assert set(o) == set(ORACLES)
+    assert set(o) == set(ORACLES) | {"crawl_round"}
     # any query with an oracle that is inside the window in queries() must
     # exist in oracle_sql() so the driver hashes it rather than rows-only
     for name in window & set(ORACLES):
