@@ -24,6 +24,7 @@ SUBSET = [
     "dedup_simhash",
     "embedding_topk",
     "host_queue_order",
+    "text_quality_gopher",
 ]
 
 

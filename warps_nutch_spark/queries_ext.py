@@ -3030,6 +3030,94 @@ FROM raw r LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
 """
 
 
+# ===========================================================================
+# Full Gopher document-quality battery (Rae et al. 2021 Table A1) —
+# VERDICT r4 item 8: word-count / mean-word-length bounds, symbol-to-
+# word ratio, bullet and ellipsis line fractions, alphabetic-word
+# fraction, stop-word presence, plus the combined pass predicate.
+# Composes with q_gopher_repetition (the §A1.1 repetition rules).
+# ===========================================================================
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textquality import gopher_quality_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    # The synthetic corpus is single-line prose over a tiny vocabulary,
+    # so the line-level and stop-word rules would be vacuously constant.
+    # Synthesize a deterministic line-structured document per row (the
+    # oracle mirrors the exact same construction): split on " the ",
+    # then per line i (0-based): bullet-prefix when (doc_id+i)%5==0,
+    # inject the stop words "and"/"of" when %3==0 / %4==0, ellipsis-
+    # suffix when %7==0. ALL rules then score this decorated document.
+    lines = F.expr(
+        "transform(split(text, ' the '), (s, i) -> concat("
+        " case when (doc_id + i) % 5 = 0 then '- ' else '' end,"
+        " case when (doc_id + i) % 3 = 0 then 'and ' else '' end,"
+        " case when (doc_id + i) % 4 = 0 then 'of ' else '' end,"
+        " s,"
+        " case when (doc_id + i) % 7 = 0 then '...' else '' end))"
+    )
+    cols = gopher_quality_cols("_lines")
+    return docs.withColumn("_lines", lines).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
+    for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+ORACLE_TEXT_QUALITY_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' the ') AS l0
+  FROM documents
+),
+dec AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(l0)), i ->
+      (CASE WHEN (doc_id + i - 1) % 5 = 0 THEN '- ' ELSE '' END)
+      || (CASE WHEN (doc_id + i - 1) % 3 = 0 THEN 'and ' ELSE '' END)
+      || (CASE WHEN (doc_id + i - 1) % 4 = 0 THEN 'of ' ELSE '' END)
+      || l0[i]
+      || (CASE WHEN (doc_id + i - 1) % 7 = 0 THEN '...' ELSE '' END)) AS lines
+  FROM base
+),
+j AS (
+  SELECT doc_id, lines, array_to_string(lines, chr(10)) AS d,
+         string_split_regex(array_to_string(lines, chr(10)),
+                            '[ ' || chr(10) || ']') AS t
+  FROM dec
+),
+m AS (
+  SELECT doc_id,
+    len(t) AS word_count,
+    round(list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t), 6)
+      AS mean_word_len,
+    round(((length(d) - length(replace(d, '#', '')))
+           + (length(d) - length(replace(d, '...', ''))) / 3) * 1.0 / len(t), 6)
+      AS symbol_word_ratio,
+    round(len(list_filter(lines, s -> s LIKE '- %' OR s LIKE '• %')) * 1.0
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, s -> s LIKE '%...' OR s LIKE '%…')) * 1.0
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+    round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+          / len(t), 6) AS alpha_word_frac,
+    {_GOPHER_STOP_SQL} AS stopword_hits
+  FROM j
+)
+SELECT doc_id, word_count, mean_word_len, symbol_word_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,
+  (word_count BETWEEN 50 AND 100000)
+  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+  AND symbol_word_ratio <= 0.1
+  AND bullet_line_frac < 0.9
+  AND ellipsis_line_frac < 0.3
+  AND alpha_word_frac >= 0.8
+  AND stopword_hits >= 2 AS pass_gopher
+FROM m
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -3084,6 +3172,7 @@ EXT_QUERIES = {
     "detect_encoding": q_detect_encoding,
     "domain_statistics": q_domain_statistics,
     "spellchecked_headers": q_spellchecked_headers,
+    "text_quality_gopher": q_text_quality_gopher,
 }
 
 EXT_ORACLES = {
@@ -3141,4 +3230,5 @@ EXT_ORACLES = {
     "detect_encoding": ORACLE_DETECT_ENCODING,
     "domain_statistics": ORACLE_DOMAIN_STATISTICS,
     "spellchecked_headers": ORACLE_SPELLCHECKED_HEADERS,
+    "text_quality_gopher": ORACLE_TEXT_QUALITY_GOPHER,
 }
