@@ -134,6 +134,8 @@ _FRONT = [
     # new this round (r5)
     "text_quality_gopher",
     "parse_msoffice",
+    # tika tier gained the OLE2 slice this round -> re-check the dispatch
+    "parse_dispatch",
 ]
 
 _BACK = [
@@ -158,7 +160,6 @@ _BACK = [
     "parse_html",
     "parse_robots",
     "text_outlinks",
-    "parse_dispatch",
     "dedup_deletes",
     "arc_records",
     "dmoz_seeds",

@@ -293,14 +293,16 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
     pdf slice ONLY), and DECLINES other binary types, so a chain
     configured [parse-tika, feed] falls through exactly like a
     failing first parser."""
+    from .parse_msoffice import OLE2_TYPES
     from .parse_office import IMAGE_TYPES, ODF_TYPES, RTF_TYPES
 
     is_pdf = F.col("content_type").isin("application/pdf", "application/x-pdf")
     is_office = F.col("content_type").isin(
         *ODF_TYPES, *RTF_TYPES, *IMAGE_TYPES
     )
+    is_ole2 = F.col("content_type").isin(*OLE2_TYPES)
 
-    gen = slice_df.filter(~is_pdf & ~is_office)
+    gen = slice_df.filter(~is_pdf & ~is_office & ~is_ole2)
     is_text = F.col("content_type").startswith("text/")
     text = F.when(is_text, _decoded(F.col("bytes")))
     ok = is_text & text.isNotNull()
@@ -363,7 +365,29 @@ def _run_tika(slice_df: DataFrame) -> DataFrame:
         F.array().cast(OUTLINKS_T),
         meta=F.col("meta"),
     )
-    return out.unionByName(pdf_out).unionByName(office_out)
+
+    # legacy OLE2 office (DOC/XLS): the parse-tika POI path
+    from .parse_msoffice import msoffice_parse_rows
+
+    mparsed = msoffice_parse_rows(
+        slice_df.filter(is_ole2),
+        id_col="url_hash",
+        passthrough=("url", "content_type"),
+    )
+    ms_out = _norm(
+        mparsed,
+        "parse-tika",
+        F.col("msoffice_ok"),
+        F.col("msoffice_status"),
+        F.col("title"),
+        F.col("text"),
+        F.array().cast(OUTLINKS_T),
+    )
+    return (
+        out.unionByName(pdf_out)
+        .unionByName(office_out)
+        .unionByName(ms_out)
+    )
 
 
 _BACKENDS = {
