@@ -87,6 +87,178 @@ def _parse_http_date_ms(value: str | None) -> int | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Authentication (protocol-httpclient parity)
+#
+# Reference: ``plugin/protocol-httpclient/.../Http.java:255-360`` reads
+# ``httpclient-auth.xml``: <credentials username password> blocks with
+# <authscope host port realm scheme> children (or <default>); every
+# credential is registered for its AuthScope and Apache HttpClient
+# answers 401 challenges with the best-matching scope. Here the same
+# rule shape is a list of dicts {username, password, host?, port?,
+# realm?, scheme?} (empty/None = ANY, the <default> block is a rule
+# with no scope fields), matched most-specific-first (host > port >
+# realm > scheme, AuthScope.match factor ordering), and the challenge
+# handshake is implemented directly: 401 -> parse WWW-Authenticate ->
+# Basic (RFC 7617) or Digest (RFC 2617, MD5/MD5-sess, qop=auth) ->
+# single authenticated retry.
+# ---------------------------------------------------------------------------
+
+def _match_credentials(
+    rules: list[dict], host: str, port: int, realm: str | None, scheme: str | None
+) -> dict | None:
+    best, best_score = None, -1
+    for r in rules:
+        score = 0
+        ok = True
+        for field, val, weight in (
+            ("host", host, 8),
+            ("port", port, 4),
+            ("realm", realm, 2),
+            ("scheme", scheme, 1),
+        ):
+            rv = r.get(field)
+            if rv in (None, "", -1):
+                continue  # ANY
+            a = str(rv).lower()
+            b = str(val).lower() if val is not None else None
+            if a != b:
+                ok = False
+                break
+            score += weight
+        if ok and score > best_score:
+            best, best_score = r, score
+    return best
+
+
+def _parse_challenge(header: str) -> tuple[str, dict]:
+    """('basic'|'digest'|..., params) from a WWW-Authenticate value."""
+    import re
+
+    scheme, _, rest = header.strip().partition(" ")
+    params = {
+        m.group(1).lower(): m.group(2) or m.group(3) or ""
+        for m in re.finditer(r'(\w+)\s*=\s*(?:"([^"]*)"|([^",\s]+))', rest)
+    }
+    return scheme.lower(), params
+
+
+def _digest_response(
+    username: str,
+    password: str,
+    method: str,
+    uri: str,
+    params: dict,
+) -> str | None:
+    import hashlib
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode("iso-8859-1")).hexdigest()
+
+    realm = params.get("realm", "")
+    nonce = params.get("nonce")
+    if not nonce:
+        return None
+    algorithm = params.get("algorithm", "MD5")
+    qop_offered = [q.strip() for q in params.get("qop", "").split(",") if q.strip()]
+    qop = "auth" if "auth" in qop_offered else None
+    cnonce = h(uri + nonce)[:16]
+    nc = "00000001"
+    ha1 = h(f"{username}:{realm}:{password}")
+    if algorithm.lower() == "md5-sess":
+        ha1 = h(f"{ha1}:{nonce}:{cnonce}")
+    ha2 = h(f"{method}:{uri}")
+    if qop:
+        resp = h(f"{ha1}:{nonce}:{nc}:{cnonce}:{qop}:{ha2}")
+    else:
+        resp = h(f"{ha1}:{nonce}:{ha2}")
+    parts = [
+        f'username="{username}"',
+        f'realm="{realm}"',
+        f'nonce="{nonce}"',
+        f'uri="{uri}"',
+        f'response="{resp}"',
+        f"algorithm={algorithm}",
+    ]
+    if qop:
+        parts += [f"qop={qop}", f"nc={nc}", f'cnonce="{cnonce}"']
+    if "opaque" in params:
+        parts.append(f'opaque="{params["opaque"]}"')
+    return "Digest " + ", ".join(parts)
+
+
+def _auth_header_for_challenge(
+    challenge: str,
+    auth_rules: list[dict],
+    host: str,
+    port: int,
+    uri: str,
+) -> str | None:
+    import base64
+
+    scheme, params = _parse_challenge(challenge)
+    cred = _match_credentials(
+        auth_rules, host, port, params.get("realm"), scheme
+    )
+    if cred is None:
+        return None
+    user, pwd = cred.get("username", ""), cred.get("password", "")
+    if scheme == "basic":
+        tok = base64.b64encode(f"{user}:{pwd}".encode()).decode("ascii")
+        return f"Basic {tok}"
+    if scheme == "digest":
+        return _digest_response(user, pwd, "GET", uri, params)
+    return None  # NTLM etc: not offered
+
+
+# ---------------------------------------------------------------------------
+# Cookie jar, one per (host, port) alongside keep-alive reuse
+# (protocol-httpclient carries an HttpState cookie store per client)
+# ---------------------------------------------------------------------------
+
+def _jar_update(jar: dict, host: str, port: int, resp, req_path: str) -> None:
+    for sc in resp.msg.get_all("Set-Cookie") or []:
+        first, *attrs = [a.strip() for a in sc.split(";")]
+        name, _, value = first.partition("=")
+        if not name:
+            continue
+        path = "/"
+        delete = False
+        secure = False
+        for a in attrs:
+            k, _, v = a.partition("=")
+            k = k.strip().lower()
+            if k == "path" and v:
+                path = v.strip()
+            elif k == "max-age" and v.strip().lstrip("-").isdigit():
+                delete = int(v.strip()) <= 0
+            elif k == "secure":
+                secure = True
+        store = jar.setdefault((host, port), {})
+        if delete:
+            store.pop(name.strip(), None)
+        else:
+            store[name.strip()] = (value, path, secure)
+
+
+def _jar_header(
+    jar: dict, host: str, port: int, req_path: str, is_https: bool
+) -> str | None:
+    store = jar.get((host, port))
+    if not store:
+        return None
+    sendable = [
+        (path, name, value)
+        for name, (value, path, secure) in store.items()
+        if req_path.startswith(path) and (is_https or not secure)
+    ]
+    if not sendable:
+        return None
+    # longest path first, then name (RFC 6265 §5.4 ordering)
+    sendable.sort(key=lambda t: (-len(t[0]), t[1]))
+    return "; ".join(f"{n}={v}" for _, n, v in sendable)
+
+
 def _gunzip_best_effort(data: bytes, cap: int) -> bytes | None:
     """GZIPUtils.unzipBestEffort analog: inflate as much as decodes,
     tolerate a truncated tail, cap the INFLATED size."""
@@ -127,6 +299,8 @@ def _fetch_one_http(
     sessions: dict,
     proxy: tuple[str, int] | None = None,
     pool=None,
+    auth_rules: list[dict] | None = None,
+    jar: dict | None = None,
 ) -> dict:
     import http.client
     import socket
@@ -165,8 +339,10 @@ def _fetch_one_http(
     path = p.path or "/"
     if p.query:
         path += "?" + p.query
+    origin_port = p.port or (443 if p.scheme == "https" else 80)
 
     last_exc: Exception | None = None
+    authed = False  # one authenticated retry per URL (challenge loop guard)
     for _attempt in range(max(1, max_retry)):
         entry = None
         if pool is not None:
@@ -212,6 +388,14 @@ def _fetch_one_http(
             req_path = path
             if proxy is not None and p.scheme == "http":
                 req_path = url  # absolute-URI proxy request form
+            if jar is not None:
+                ck = _jar_header(
+                    jar, p.hostname, origin_port, path, p.scheme == "https"
+                )
+                if ck:
+                    headers["Cookie"] = ck
+                else:
+                    headers.pop("Cookie", None)
             conn.request("GET", req_path, headers=headers)
             resp = conn.getresponse()
             cap = max_content_length
@@ -230,6 +414,24 @@ def _fetch_one_http(
                 if inflated is None:
                     raise OSError("unzipBestEffort returned null")
                 body = inflated
+            if jar is not None:
+                _jar_update(jar, p.hostname, origin_port, resp, path)
+            # 401 challenge -> matched credentials -> one retried GET
+            # with Authorization (Http.java registers the credentials;
+            # commons-httpclient performs exactly this handshake)
+            if resp.status == 401 and auth_rules and not authed:
+                challenge = resp.getheader("WWW-Authenticate")
+                hdr = (
+                    _auth_header_for_challenge(
+                        challenge, auth_rules, p.hostname, origin_port, path
+                    )
+                    if challenge
+                    else None
+                )
+                if hdr:
+                    headers["Authorization"] = hdr
+                    authed = True
+                    continue
             clen = resp.getheader("Content-Length")
             out["code"] = resp.status
             out["content"] = body
@@ -279,6 +481,8 @@ def fetch_http_urls(
     proxy_host: str | None = None,
     proxy_port: int = 8080,
     proxy_pool: list[tuple[str, int]] | None = None,
+    auth_rules: list[dict] | None = None,
+    use_cookies: bool = True,
 ) -> DataFrame:
     """Fetch a DataFrame of ``http(s)://`` URLs -> protocol responses
     (code, truncated content, true Content-Length, Last-Modified,
@@ -291,15 +495,24 @@ def fetch_http_urls(
     ``proxy_pool`` is the ``fetch.mode=PROXY`` path instead: a list of
     ``(host, port)`` proxies rotated per partition with dead-proxy
     retirement and periodic recovery (``net/proxy/ProxyPool.java``;
-    see :mod:`.proxy_pool`)."""
+    see :mod:`.proxy_pool`).
+    ``auth_rules`` is the httpclient-auth.xml credential table
+    (protocol-httpclient ``Http.java:255-360``): dicts of
+    {username, password, host?, port?, realm?, scheme?}; a 401 is
+    answered with Basic or Digest per the challenge and retried once.
+    ``use_cookies`` keeps a per-(host, port) cookie jar for the
+    partition alongside keep-alive reuse."""
     cols = [url_col] + ([modified_col] if modified_col else [])
     proj = df.select(*cols)
     mod_name = modified_col
     proxy = (proxy_host, int(proxy_port)) if proxy_host else None
     pool_list = [(h, int(p)) for h, p in proxy_pool] if proxy_pool else None
 
+    rules = [dict(r) for r in auth_rules] if auth_rules else None
+
     def _batch(it):
         sessions: dict = {}
+        jar: dict | None = {} if use_cookies else None
         pool = None
         if pool_list:
             from .proxy_pool import ProxyPool
@@ -324,6 +537,8 @@ def fetch_http_urls(
                             sessions,
                             proxy,
                             pool,
+                            rules,
+                            jar,
                         )
                     )
                 yield pd.DataFrame(
