@@ -98,18 +98,38 @@ def collect(p: subprocess.Popen) -> dict:
     raise RuntimeError(f"shard failed:\n{out[-2000:]}")
 
 
+def probe() -> dict:
+    out = {"load_1m": round(os.getloadavg()[0], 2)}
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.random((1200, 1200))
+        b = rng.random((1200, 1200))
+        a @ b
+        t0 = time.time()
+        for _ in range(3):
+            a @ b
+        out["matmul_1t_sec"] = round(time.time() - t0, 2)
+    except Exception:
+        pass
+    return out
+
+
 def main():
     web = (4000, 400, 42, 8)
     rounds = 2
     n = 4
 
+    probes = {"pre_sequential": probe()}
     # arm A: sequential (1 executor)
     seq = []
     for s in range(n):
         p = launch(s, n, web, rounds)
         seq.append(collect(p))
-        print(f"sequential shard {s}: {seq[-1]['elapsed_sec']}s")
+        print(f"sequential shard {s}: {seq[-1]['elapsed_sec']}s", flush=True)
     t_seq = sum(r["elapsed_sec"] for r in seq)
+    probes["between_arms"] = probe()
 
     # arm B: concurrent (4 executors)
     t0 = time.time()
@@ -118,13 +138,15 @@ def main():
     t_conc_wall = time.time() - t0
     t_conc = max(r["elapsed_sec"] for r in conc)
     for r in conc:
-        print(f"concurrent shard {r['shard']}: {r['elapsed_sec']}s")
+        print(f"concurrent shard {r['shard']}: {r['elapsed_sec']}s", flush=True)
+    probes["post_concurrent"] = probe()
 
     urls_total = sum(r["fetched"] + r["updated"] for r in seq)
     eff = t_seq / (n * t_conc)
     summary = {
         "web": {"hosts": web[0], "pages_base": web[1], "dim_spread": web[3]},
         "rounds": rounds,
+        "box_noise": probes,
         "executors": {"N": 1, "4N": n, "cores_each": int(os.environ.get("WNS_EXEC_CORES", "2"))},
         "urls_total": urls_total,
         "sequential_sec": round(t_seq, 2),

@@ -303,15 +303,21 @@ class RoundDriver:
         # MEMORY_AND_DISK: at 10^10 rows the cache spills instead of
         # OOMing, and a spilled read still beats re-running the MOR
         # window + anti-join per consumer.
+        # ONLY cache when deltas exist: a base-only read is a plain
+        # parquet scan, and caching it costs more memory traffic than
+        # the 2-3 re-scans it saves (the unconditional persist cut the
+        # 4-executor scaling efficiency from ~0.9 to 0.64 — the cache
+        # build saturated the box's shared memory bandwidth).
         _round_frontier: list[DataFrame] = []
 
         def _frontier() -> DataFrame:
             if not _round_frontier:
-                from pyspark import StorageLevel
+                df = self.store.read()
+                if self.store.has_deltas():
+                    from pyspark import StorageLevel
 
-                _round_frontier.append(
-                    self.store.read().persist(StorageLevel.MEMORY_AND_DISK)
-                )
+                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                _round_frontier.append(df)
             return _round_frontier[0]
 
         def _release_frontier() -> None:

@@ -192,6 +192,16 @@ class ParquetFrontierStore(FrontierStore):
         (no Spark job)."""
         return sum(self.lineage(dv).get("rows", 0) for dv in deltas)
 
+    def has_deltas(self) -> bool:
+        """True when read() must resolve delta snapshots (window +
+        anti-join) on top of the base scan. Callers use this to decide
+        whether caching the MOR view is worth anything: a base-only
+        read is a plain columnar parquet scan, and re-scanning it is
+        CHEAPER than building + reading a block cache (measured: the
+        unconditional per-round persist cost ~1.5x per-shard slowdown
+        under 4-way executor concurrency on the scaling bench)."""
+        return bool(self._layout()[1])
+
     def read(self) -> DataFrame:
         """MOR scan: base rows not shadowed by a delta key, plus the
         newest delta row per key; tombstoned keys (equality deletes)
