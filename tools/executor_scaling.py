@@ -16,8 +16,15 @@ Protocol (identical total work in both arms, by construction):
 - arm B: run the same 4 jobs CONCURRENTLY (4 executors);
 - efficiency = sum(T_A_shards) / (4 * max(T_B_shards)).
 
-Run: PYTHONPATH=. python tools/executor_scaling.py
+Run: WNS_EXEC_CORES=1 PYTHONPATH=. python tools/executor_scaling.py
 Appends results to BENCH/BASELINE.md.
+
+HEADLINE PROTOCOL IS local[1] PER EXECUTOR (WNS_EXEC_CORES=1 — every
+round's headline number used it). At local[2], 4 concurrent JVMs + up
+to 8 Python workers oversubscribe this tenant VM's ~8 effective cores
+and the measurement reads the box ceiling (~0.63), not the engine —
+measured r5: 1.019 at local[1] vs 0.64/0.63 at local[2], same engine,
+quiet box, probes in the artifacts.
 """
 
 from __future__ import annotations
