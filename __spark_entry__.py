@@ -134,6 +134,7 @@ _FRONT = [
     # new this round (r5)
     "text_quality_gopher",
     "parse_msoffice",
+    "dedup_paragraphs",
     # tika tier gained the OLE2 slice this round -> re-check the dispatch
     "parse_dispatch",
 ]

@@ -516,3 +516,75 @@ def hamming_pairs_int64(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def paragraph_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 8,
+) -> DataFrame:
+    """(id, para_idx, para): the document split into fixed-width word
+    chunks — the deterministic stand-in for paragraph boundaries on
+    corpora without newline structure. Real corpora pass
+    ``split(text, '\\n\\n')`` instead; every downstream op only sees
+    (id, para_idx, para)."""
+    k = words_per_para
+    paras = F.expr(
+        f"transform(sequence(0, (size(split({text_col}, ' ')) - 1) div {k}),"
+        f" i -> array_join(slice(split({text_col}, ' '), i * {k} + 1, {k}), ' '))"
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(paras).alias("para_idx", "para")
+    )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 8,
+) -> DataFrame:
+    """Cross-document paragraph-level dedup metrics (the
+    RefinedWeb/C4-style line-dedup pass: paragraphs repeated across
+    the corpus are boilerplate and get stripped before training).
+
+    Per document: number of paragraphs, number whose md5 appears in
+    MORE THAN ONE distinct document corpus-wide, and the duplicate
+    fraction.
+
+    Scale shape: explode -> md5 -> groupBy(hash) (ONE shuffle over
+    paragraphs, map-side combinable: distinct-doc counts aggregate per
+    hash) -> broadcast-joinable duplicate-hash set back onto the
+    paragraph table -> per-doc aggregate (second shuffle, keyed by
+    id). No step holds a document's full text after the explode, so a
+    100 TB corpus streams through as paragraph rows.
+    """
+    paras = paragraph_chunks(docs, text_col, id_col, words_per_para).select(
+        F.col(id_col), F.md5(F.col("para")).alias("para_hash")
+    )
+    # corpus-wide: hashes appearing in >1 distinct document
+    dup_hashes = (
+        paras.groupBy("para_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("para_hash")
+    )
+    flagged = paras.join(
+        dup_hashes.withColumn("_dup", F.lit(1)), on="para_hash", how="left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_paras"),
+        )
+        .select(
+            F.col(id_col),
+            "n_paras",
+            "n_dup_paras",
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 6).alias(
+                "dup_para_frac"
+            ),
+        )
+    )

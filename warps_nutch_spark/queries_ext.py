@@ -3192,6 +3192,42 @@ FROM m
 """
 
 
+# ===========================================================================
+# Cross-document paragraph-level dedup (the RefinedWeb/C4 line-dedup
+# pass: paragraphs repeated across documents are boilerplate).
+# explode -> md5 -> one corpus-wide hash groupBy -> per-doc stats.
+# ===========================================================================
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import paragraph_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    # words_per_para=3: on the tiny-vocabulary synthetic corpus this
+    # yields a non-degenerate split (both unique and cross-document-
+    # repeated chunks exist); real corpora split on blank lines instead
+    return paragraph_dedup_stats(docs, words_per_para=3)
+
+
+ORACLE_DEDUP_PARAGRAPHS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+paras AS (
+  SELECT doc_id, md5(p) AS h FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(0, (len(w) - 1) // 3),
+      i -> array_to_string(w[i * 3 + 1:i * 3 + 3], ' '))) AS p
+    FROM t)
+),
+dups AS (
+  SELECT h FROM paras GROUP BY h HAVING count(DISTINCT doc_id) > 1
+)
+SELECT p.doc_id,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_paras,
+  round(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+    AS dup_para_frac
+FROM paras p LEFT JOIN dups d ON p.h = d.h
+GROUP BY p.doc_id
+"""
+
+
 EXT_QUERIES = {
     "urlfilter_regex": q_urlfilter_regex,
     "url_partition_key": q_url_partition_key,
@@ -3248,6 +3284,7 @@ EXT_QUERIES = {
     "spellchecked_headers": q_spellchecked_headers,
     "text_quality_gopher": q_text_quality_gopher,
     "parse_msoffice": q_parse_msoffice,
+    "dedup_paragraphs": q_dedup_paragraphs,
 }
 
 EXT_ORACLES = {
@@ -3307,4 +3344,5 @@ EXT_ORACLES = {
     "spellchecked_headers": ORACLE_SPELLCHECKED_HEADERS,
     "text_quality_gopher": ORACLE_TEXT_QUALITY_GOPHER,
     "parse_msoffice": ORACLE_PARSE_MSOFFICE,
+    "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
 }
