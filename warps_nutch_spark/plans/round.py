@@ -334,229 +334,234 @@ class RoundDriver:
                 "stage_sec": {k: round(v, 2) for k, v in stage_times.items()},
             }
 
-        # -- generate ----------------------------------------------------
-        if not self._done(batch_id, "generate"):
-            if not self._stage_data_ok(batch_id, "generate"):
-                fl = gen_op.generate(
-                    _frontier(), self.cfg, now, batch_id,
-                    self.unreachable_hosts(), current_round=r,
-                    avg_page_bytes=self._avg_page_bytes(),
-                )
-                # The GENERATE_MARK lives in the fetchlist artifact until
-                # updatedb folds it into the single per-round MERGE (one
-                # frontier delta per round instead of two; intra-round
-                # resume is covered by the artifact + _DONE marker, the
-                # F13 guard semantics are unchanged for the next round).
-                self._write_stage(fl, batch_id, "generate")
-            self._mark_done(batch_id, "generate")
-        stage_times["generate"] = time.time() - t0
-        if stop_after == "generate":
-            return _partial("generate")
-        fetchlist = self._read_stage(batch_id, "generate")
+        try:
+            # -- generate ----------------------------------------------------
+            if not self._done(batch_id, "generate"):
+                if not self._stage_data_ok(batch_id, "generate"):
+                    fl = gen_op.generate(
+                        _frontier(), self.cfg, now, batch_id,
+                        self.unreachable_hosts(), current_round=r,
+                        avg_page_bytes=self._avg_page_bytes(),
+                    )
+                    # The GENERATE_MARK lives in the fetchlist artifact until
+                    # updatedb folds it into the single per-round MERGE (one
+                    # frontier delta per round instead of two; intra-round
+                    # resume is covered by the artifact + _DONE marker, the
+                    # F13 guard semantics are unchanged for the next round).
+                    self._write_stage(fl, batch_id, "generate")
+                self._mark_done(batch_id, "generate")
+            stage_times["generate"] = time.time() - t0
+            if stop_after == "generate":
+                return _partial("generate")
+            fetchlist = self._read_stage(batch_id, "generate")
 
-        # -- fetch ---------------------------------------------------------
-        t_f = time.time()
-        if not self._done(batch_id, "fetch"):
-            if self._stage_data_ok(batch_id, "fetch"):
-                res = self._read_stage(batch_id, "fetch")  # resume: reuse
-            else:
-                if self.cfg.fetch_mode == "crowd":
-                    res = self._crowd_fetch(fetchlist, batch_id, now)
+            # -- fetch ---------------------------------------------------------
+            t_f = time.time()
+            if not self._done(batch_id, "fetch"):
+                if self._stage_data_ok(batch_id, "fetch"):
+                    res = self._read_stage(batch_id, "fetch")  # resume: reuse
                 else:
-                    res = fetch_op.fetch(
-                        fetchlist, self._robots_df(), self.cfg, now, batch_id,
-                        self.web_params, host_config=self.host_config(),
-                    )
-                with python_stage_parallelism(self.spark):
-                    res = self._write_stage(res, batch_id, "fetch")
-            self._update_host_failures(res, batch_id)
-            self._append_metrics(
-                res.filter(F.col("fetched"))
-                .groupBy("new_status")
-                .agg(F.count("*").alias("value"))
-                .select(
-                    F.lit(batch_id).alias("batch_id"),
-                    F.lit("fetch").alias("stage"),
-                    F.col("new_status").cast("string").alias("counter"),
-                    "value",
-                ),
-                batch_id,
-                "fetch",
-            )
-            self._mark_done(batch_id, "fetch")
-        stage_times["fetch"] = time.time() - t_f
-        if stop_after == "fetch":
-            return _partial("fetch")
-        fetch_results = self._read_stage(batch_id, "fetch")
-
-        # -- parse -----------------------------------------------------------
-        t_p = time.time()
-        if not self._done(batch_id, "parse"):
-            if self._stage_data_ok(batch_id, "parse"):
-                parsed = self._read_stage(batch_id, "parse")  # resume: reuse
-                if "bytes" in parsed.columns:
-                    # artifact from the pre-drop layout still carries the
-                    # payload bytes; keep the fetch artifact's copy as the
-                    # single source so the join below stays unambiguous
-                    parsed = parsed.drop("bytes")
-            else:
-                parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
-                # the payload bytes already persist in the fetch
-                # artifact — don't write them a second time here (the
-                # payload projection below re-joins them by key)
-                with python_stage_parallelism(self.spark):
-                    parsed = self._write_stage(
-                        parsed.drop("bytes"), batch_id, "parse"
-                    )
-            payloads = parse_op.payload_rows(
-                parsed.join(
-                    fetch_results.select("url_hash", "bytes"), on="url_hash"
-                )
-            )
-            # batch-keyed overwrite (not append): a resumed parse stage
-            # rewrites its own payload slice, never duplicates it
-            payloads.write.mode("overwrite").parquet(
-                os.path.join(self.workdir, "payloads", batch_id)
-            )
-            self._mark_done(batch_id, "parse")
-        stage_times["parse"] = time.time() - t_p
-        if stop_after == "parse":
-            return _partial("parse")
-        parsed = self._read_stage(batch_id, "parse")
-
-        # -- JIT index (TaskScheduler.java:799-804 + JITIndexer.java):
-        # index documents leave the round as soon as parse lands,
-        # without waiting for updatedb or a separate IndexJob pass
-        if self.cfg.index_jit:
-            t_j = time.time()
-            if not self._done(batch_id, "jit_index"):
-                from ..operators import indexer as idx_op
-
-                docs = idx_op.build_jit_documents(
-                    parsed,
+                    if self.cfg.fetch_mode == "crowd":
+                        res = self._crowd_fetch(fetchlist, batch_id, now)
+                    else:
+                        res = fetch_op.fetch(
+                            fetchlist, self._robots_df(), self.cfg, now, batch_id,
+                            self.web_params, host_config=self.host_config(),
+                        )
+                    with python_stage_parallelism(self.spark):
+                        res = self._write_stage(res, batch_id, "fetch")
+                self._update_host_failures(res, batch_id)
+                self._append_metrics(
+                    res.filter(F.col("fetched"))
+                    .groupBy("new_status")
+                    .agg(F.count("*").alias("value"))
+                    .select(
+                        F.lit(batch_id).alias("batch_id"),
+                        F.lit("fetch").alias("stage"),
+                        F.col("new_status").cast("string").alias("counter"),
+                        "value",
+                    ),
                     batch_id,
-                    min_text_length=self.cfg.index_min_text_length,
-                    prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
+                    "fetch",
                 )
-                lines = idx_op.to_bulk_ndjson(docs, index_name=self.cfg.index_name)
-                idx_op.write_bulk_files(
-                    lines, os.path.join(self.workdir, "index", batch_id)
-                )
-                if self.cfg.index_endpoint:
-                    # live deployment shape: the same bulk entries go
-                    # to {endpoint}/_bulk from the executors. A resumed
-                    # round re-pushes the batch — bulk index actions
-                    # are idempotent per _id, so replays are safe.
-                    idx_op.push_bulk_http(lines, self.cfg.index_endpoint)
-                self._mark_done(batch_id, "jit_index")
-            stage_times["jit_index"] = time.time() - t_j
+                self._mark_done(batch_id, "fetch")
+            stage_times["fetch"] = time.time() - t_f
+            if stop_after == "fetch":
+                return _partial("fetch")
+            fetch_results = self._read_stage(batch_id, "fetch")
 
-        # -- updatedb ----------------------------------------------------------
-        t_u = time.time()
-        if not self._done(batch_id, "updatedb"):
-            t_sub = time.time()
-            cached: list[DataFrame] = []
-            if self._stage_data_ok(batch_id, "updatedb"):
-                # resume after the artifact committed: NEVER recompute —
-                # the frontier may already contain this batch's merge,
-                # and recomputing against it would double-apply inlink
-                # contributions. The artifact is the single source.
-                merge_rows = self._read_stage(batch_id, "updatedb")
-                counters = self._updatedb_counters(merge_rows, batch_id)
-            else:
-                frontier = _frontier()
-                merge_rows, counters = upd_op.updatedb(
-                    frontier, parsed, self.cfg, now, batch_id, self.urlseen,
-                    cached_out=cached,
-                    prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
-                )
-                # Budget-dropped fetchlist rows (generated but never
-                # reached by the round's fetch budget) keep their
-                # GENERATE_MARK — FeederThread drain semantics. The
-                # dropped set is fetchlist MINUS actually-fetched rows
-                # (parsed); a dropped row that also received inlinks
-                # this round sits in updatedb's 'existing' branch with
-                # the frontier's stale mark, so restore the fetchlist's
-                # mark there too.
-                merge_rows = merge_rows.persist()
-                cached.append(merge_rows)
-                dropped = fetchlist.select(*frontier.columns).join(
-                    parsed.select("url_hash"), on="url_hash", how="left_anti"
-                )
-                marks = dropped.select(
-                    "url_hash", F.col("generated_batch").alias("_keep_mark")
-                )
-                merge_rows = (
-                    merge_rows.join(marks, on="url_hash", how="left")
-                    .withColumn(
-                        "generated_batch",
-                        F.coalesce(F.col("_keep_mark"), F.col("generated_batch")),
+            # -- parse -----------------------------------------------------------
+            t_p = time.time()
+            if not self._done(batch_id, "parse"):
+                if self._stage_data_ok(batch_id, "parse"):
+                    parsed = self._read_stage(batch_id, "parse")  # resume: reuse
+                    if "bytes" in parsed.columns:
+                        # artifact from the pre-drop layout still carries the
+                        # payload bytes; keep the fetch artifact's copy as the
+                        # single source so the join below stays unambiguous
+                        parsed = parsed.drop("bytes")
+                else:
+                    parsed = parse_op.parse(fetch_results, self.cfg, batch_id)
+                    # the payload bytes already persist in the fetch
+                    # artifact — don't write them a second time here (the
+                    # payload projection below re-joins them by key)
+                    with python_stage_parallelism(self.spark):
+                        parsed = self._write_stage(
+                            parsed.drop("bytes"), batch_id, "parse"
+                        )
+                payloads = parse_op.payload_rows(
+                    parsed.join(
+                        fetch_results.select("url_hash", "bytes"), on="url_hash"
                     )
-                    .drop("_keep_mark")
                 )
-                dropped_rest = dropped.join(
-                    merge_rows.select("url_hash"), on="url_hash", how="left_anti"
+                # batch-keyed overwrite (not append): a resumed parse stage
+                # rewrites its own payload slice, never duplicates it
+                payloads.write.mode("overwrite").parquet(
+                    os.path.join(self.workdir, "payloads", batch_id)
                 )
-                merge_rows = merge_rows.unionByName(
-                    dropped_rest.select(*merge_rows.columns)
-                )
-                # pre-bucket so the resume artifact doubles as the
-                # store's delta snapshot (merge_linked below): the
-                # round's updates hit disk ONCE, not twice
-                merge_rows = self.store.with_bucket(merge_rows.drop("host_bucket"))
-                # no pandas-UDF stage in the merge plan: let AQE coalesce
-                # by bytes (the python_stage_parallelism pin here was
-                # vestigial and cost ~1 s/round in tiny-task overhead)
-                merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
-                # record the bucket count the artifact was written with so
-                # merge_linked can reject a stale-layout resume artifact
-                self.store.stamp_bucketing(
-                    os.path.join(self._stage_dir(batch_id, "updatedb"), "data")
-                )
-            stage_times["updatedb.plan_write"] = time.time() - t_sub
-            t_sub = time.time()
-            if ("updatedb", batch_id) not in self.store.committed_ops():
-                lineage = {"op": "updatedb", "batch_id": batch_id}
-                try:
-                    self.store.merge_linked(
-                        os.path.join(self._stage_dir(batch_id, "updatedb"), "data"),
-                        lineage,
+                self._mark_done(batch_id, "parse")
+            stage_times["parse"] = time.time() - t_p
+            if stop_after == "parse":
+                return _partial("parse")
+            parsed = self._read_stage(batch_id, "parse")
+
+            # -- JIT index (TaskScheduler.java:799-804 + JITIndexer.java):
+            # index documents leave the round as soon as parse lands,
+            # without waiting for updatedb or a separate IndexJob pass
+            if self.cfg.index_jit:
+                t_j = time.time()
+                if not self._done(batch_id, "jit_index"):
+                    from ..operators import indexer as idx_op
+
+                    docs = idx_op.build_jit_documents(
+                        parsed,
+                        batch_id,
+                        min_text_length=self.cfg.index_min_text_length,
+                        prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
                     )
-                except ValueError:
-                    # artifact from an older layout (no host_bucket):
-                    # fall back to the shuffling merge
-                    self.store.merge(merge_rows, lineage)
-            stage_times["updatedb.adopt"] = time.time() - t_sub
-            t_sub = time.time()
-            # Bloom OR is idempotent: re-merging the same keys is a no-op
-            self.urlseen.merge_round(
-                merge_rows.select("url_hash"), "url_hash", batch_id
+                    lines = idx_op.to_bulk_ndjson(docs, index_name=self.cfg.index_name)
+                    idx_op.write_bulk_files(
+                        lines, os.path.join(self.workdir, "index", batch_id)
+                    )
+                    if self.cfg.index_endpoint:
+                        # live deployment shape: the same bulk entries go
+                        # to {endpoint}/_bulk from the executors. A resumed
+                        # round re-pushes the batch — bulk index actions
+                        # are idempotent per _id, so replays are safe.
+                        idx_op.push_bulk_http(lines, self.cfg.index_endpoint)
+                    self._mark_done(batch_id, "jit_index")
+                stage_times["jit_index"] = time.time() - t_j
+
+            # -- updatedb ----------------------------------------------------------
+            t_u = time.time()
+            if not self._done(batch_id, "updatedb"):
+                t_sub = time.time()
+                cached: list[DataFrame] = []
+                if self._stage_data_ok(batch_id, "updatedb"):
+                    # resume after the artifact committed: NEVER recompute —
+                    # the frontier may already contain this batch's merge,
+                    # and recomputing against it would double-apply inlink
+                    # contributions. The artifact is the single source.
+                    merge_rows = self._read_stage(batch_id, "updatedb")
+                    counters = self._updatedb_counters(merge_rows, batch_id)
+                else:
+                    frontier = _frontier()
+                    merge_rows, counters = upd_op.updatedb(
+                        frontier, parsed, self.cfg, now, batch_id, self.urlseen,
+                        cached_out=cached,
+                        prev_state=fetchlist.select("url_hash", "inlinks", "repr_url"),
+                    )
+                    # Budget-dropped fetchlist rows (generated but never
+                    # reached by the round's fetch budget) keep their
+                    # GENERATE_MARK — FeederThread drain semantics. The
+                    # dropped set is fetchlist MINUS actually-fetched rows
+                    # (parsed); a dropped row that also received inlinks
+                    # this round sits in updatedb's 'existing' branch with
+                    # the frontier's stale mark, so restore the fetchlist's
+                    # mark there too.
+                    merge_rows = merge_rows.persist()
+                    cached.append(merge_rows)
+                    dropped = fetchlist.select(*frontier.columns).join(
+                        parsed.select("url_hash"), on="url_hash", how="left_anti"
+                    )
+                    marks = dropped.select(
+                        "url_hash", F.col("generated_batch").alias("_keep_mark")
+                    )
+                    merge_rows = (
+                        merge_rows.join(marks, on="url_hash", how="left")
+                        .withColumn(
+                            "generated_batch",
+                            F.coalesce(F.col("_keep_mark"), F.col("generated_batch")),
+                        )
+                        .drop("_keep_mark")
+                    )
+                    dropped_rest = dropped.join(
+                        merge_rows.select("url_hash"), on="url_hash", how="left_anti"
+                    )
+                    merge_rows = merge_rows.unionByName(
+                        dropped_rest.select(*merge_rows.columns)
+                    )
+                    # pre-bucket so the resume artifact doubles as the
+                    # store's delta snapshot (merge_linked below): the
+                    # round's updates hit disk ONCE, not twice
+                    merge_rows = self.store.with_bucket(merge_rows.drop("host_bucket"))
+                    # no pandas-UDF stage in the merge plan: let AQE coalesce
+                    # by bytes (the python_stage_parallelism pin here was
+                    # vestigial and cost ~1 s/round in tiny-task overhead)
+                    merge_rows = self._write_stage(merge_rows, batch_id, "updatedb")
+                    # record the bucket count the artifact was written with so
+                    # merge_linked can reject a stale-layout resume artifact
+                    self.store.stamp_bucketing(
+                        os.path.join(self._stage_dir(batch_id, "updatedb"), "data")
+                    )
+                stage_times["updatedb.plan_write"] = time.time() - t_sub
+                t_sub = time.time()
+                if ("updatedb", batch_id) not in self.store.committed_ops():
+                    lineage = {"op": "updatedb", "batch_id": batch_id}
+                    try:
+                        self.store.merge_linked(
+                            os.path.join(self._stage_dir(batch_id, "updatedb"), "data"),
+                            lineage,
+                        )
+                    except ValueError:
+                        # artifact from an older layout (no host_bucket):
+                        # fall back to the shuffling merge
+                        self.store.merge(merge_rows, lineage)
+                stage_times["updatedb.adopt"] = time.time() - t_sub
+                t_sub = time.time()
+                # Bloom OR is idempotent: re-merging the same keys is a no-op
+                self.urlseen.merge_round(
+                    merge_rows.select("url_hash"), "url_hash", batch_id
+                )
+                stage_times["updatedb.urlseen"] = time.time() - t_sub
+                t_sub = time.time()
+                self._append_metrics(counters, batch_id, "updatedb")
+                stage_times["updatedb.metrics"] = time.time() - t_sub
+                for df in cached:
+                    df.unpersist()
+                self._mark_done(batch_id, "updatedb")
+            stage_times["updatedb"] = time.time() - t_u
+            _release_frontier()  # merged: the cached MOR view is now stale
+
+            elapsed = time.time() - t0
+            fetched = fetch_results.filter(F.col("fetched")).count()
+            updated = (
+                self._read_stage(batch_id, "updatedb")
+                .filter(F.col("updated_batch") == batch_id)
+                .count()
             )
-            stage_times["updatedb.urlseen"] = time.time() - t_sub
-            t_sub = time.time()
-            self._append_metrics(counters, batch_id, "updatedb")
-            stage_times["updatedb.metrics"] = time.time() - t_sub
-            for df in cached:
-                df.unpersist()
-            self._mark_done(batch_id, "updatedb")
-        stage_times["updatedb"] = time.time() - t_u
-        _release_frontier()  # merged: the cached MOR view is now stale
-
-        elapsed = time.time() - t0
-        fetched = fetch_results.filter(F.col("fetched")).count()
-        updated = (
-            self._read_stage(batch_id, "updatedb")
-            .filter(F.col("updated_batch") == batch_id)
-            .count()
-        )
-        return {
-            "batch_id": batch_id,
-            "elapsed_sec": elapsed,
-            "fetched": fetched,
-            "updated": updated,
-            "throughput_rows_per_sec": (fetched + updated) / elapsed if elapsed else 0.0,
-            "stage_sec": {k: round(v, 2) for k, v in stage_times.items()},
-        }
+            return {
+                "batch_id": batch_id,
+                "elapsed_sec": elapsed,
+                "fetched": fetched,
+                "updated": updated,
+                "throughput_rows_per_sec": (fetched + updated) / elapsed if elapsed else 0.0,
+                "stage_sec": {k: round(v, 2) for k, v in stage_times.items()},
+            }
+        finally:
+            # a stage raising mid-round must not leak the cached
+            # MOR view into a long-lived driver session
+            _release_frontier()
 
     def _crowd_fetch(self, fetchlist: DataFrame, batch_id: str, now: int) -> DataFrame:
         """FetchMode.CROWDSOURCING round: publish tasks, hand every
