@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .skew import scan_is_narrow, spread, spread_narrow_scan
+
 
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -47,19 +49,78 @@ def norm_col(c: Column) -> Column:
     )
 
 
+# --- unrolled fixed-dimension variants (DISABLED after measurement) --------
+# Hypothesis tested in r6: unrolling the fold into a flat 64-term
+# element_at chain ((0.0 + a1*b1) + a2*b2) + ... would beat the
+# aggregate/zip_with higher-order form. A/B on 2M 64-dim rows measured
+# the OPPOSITE — unrolled 8.7-11.1 s vs HOF 1.7-5.0 s (the wide
+# element_at tree defeats codegen; the HOF loop is a tight specialized
+# evaluator). _MAX_UNROLL_DIM = 0 keeps every dot/norm on the HOF form
+# while preserving the call sites; dim_of short-circuits to None so no
+# probe job runs. The REAL wins for the scorers were structural: norms
+# hoisted to one-per-row below the joins, and candidate stages spread
+# across cores (skew.spread) instead of AQE-coalesced to 1 task.
+_MAX_UNROLL_DIM = 0
+
+
+def dim_of(df: DataFrame, col: str = "embedding") -> int | None:
+    """Vector dimensionality sampled from the first row (None when the
+    table is empty or the probe fails); used only to pick the unrolled
+    expression form — never to change results."""
+    if _MAX_UNROLL_DIM <= 0:
+        return None
+    try:
+        row = df.select(F.size(F.col(col)).alias("d")).head()
+        d = int(row["d"]) if row is not None and row["d"] is not None else None
+        return d if d is not None and 0 < d <= _MAX_UNROLL_DIM else None
+    except Exception:
+        return None
+
+
+def dot_col_d(a: Column, b: Column, d: int | None) -> Column:
+    if d is None:
+        return dot_col(a, b)
+    acc: Column = F.lit(0.0)
+    for i in range(1, d + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return acc
+
+
+def norm_col_d(c: Column, d: int | None) -> Column:
+    if d is None:
+        return norm_col(c)
+    acc: Column = F.lit(0.0)
+    for i in range(1, d + 1):
+        acc = acc + F.element_at(c, i).cast("double") * F.element_at(c, i).cast(
+            "double"
+        )
+    return F.sqrt(acc)
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
 def brute_force_topk(
-    emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id"
+    emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id",
+    d: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against a single broadcast query vector
     (column ``qe``). orderBy().limit() compiles to
     TakeOrderedAndProject — per-partition partial top-k, no global
-    sort shuffle."""
-    joined = emb.crossJoin(F.broadcast(query))
-    cos = cosine_col(F.col("embedding"), F.col("qe"))
+    sort shuffle. ``d``: vector dimension for the unrolled codegen
+    scorer (callers composing over derived plans pass it explicitly so
+    no probe job runs against the composed plan)."""
+    # query norm evaluated once on the (1-row) broadcast side, not per
+    # corpus row (guide §2.3: hoist invariant work out of the hot path;
+    # cos = dot/(norm_a*norm_q) is the same expression tree factored)
+    q = query.withColumn("_bf_nq", norm_col_d(F.col("qe"), d))
+    joined = spread_narrow_scan(emb).crossJoin(F.broadcast(q))
+    cos = dot_col_d(F.col("embedding"), F.col("qe"), d) / (
+        norm_col_d(F.col("embedding"), d) * F.col("_bf_nq")
+    )
     return (
         joined.select(id_col, F.round(cos, 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -97,10 +158,14 @@ def sq8_topk_rescored(
     global sort); the rescore touches coarse_factor·k rows, not the
     corpus. Ordering is the total (score DESC, id ASC) in both stages
     so results are deterministic."""
-    joined = emb.crossJoin(F.broadcast(query))
-    qcos = cosine_col(
-        sq8_quantize_col(F.col("embedding"), scale), sq8_quantize_col(F.col("qe"), scale)
-    )
+    # quantize + norm the query ONCE on the 1-row broadcast side; the
+    # corpus-side scan then pays one quantize + one norm + one dot per
+    # row instead of re-quantizing/re-norming the query per row
+    q = query.withColumn("_qq", sq8_quantize_col(F.col("qe"), scale))
+    q = q.withColumn("_qq_n", norm_col(F.col("_qq")))
+    joined = spread_narrow_scan(emb).crossJoin(F.broadcast(q))
+    qemb = sq8_quantize_col(F.col("embedding"), scale)
+    qcos = dot_col(qemb, F.col("_qq")) / (norm_col(qemb) * F.col("_qq_n"))
     coarse = (
         joined.select(id_col, "embedding", "qe", F.round(qcos, 4).alias("qcosine"))
         .orderBy(F.desc("qcosine"), F.asc(id_col))
@@ -117,7 +182,7 @@ def sq8_topk_rescored(
 def sign_bits(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, bits): sign-LSH signature string over the hyperplanes
     (``plane_id``, ``pe``). Planes broadcast; one wide groupBy."""
-    joined = emb.crossJoin(F.broadcast(planes))
+    joined = spread_narrow_scan(emb).crossJoin(F.broadcast(planes))
     d = dot_col(F.col("embedding"), F.col("pe"))
     bits = joined.select(
         id_col,
@@ -168,7 +233,7 @@ def sign_bits_lit(
             ).otherwise(F.lit("0")),
         ),
     )
-    return emb.select(id_col, bits.alias("bits"))
+    return spread_narrow_scan(emb).select(id_col, bits.alias("bits"))
 
 
 def banded_pairs(
@@ -177,14 +242,20 @@ def banded_pairs(
     """Distinct candidate pairs sharing at least one band bucket —
     the LSH bucket-join (same shape as the MinHash band join; never
     an all-pairs product)."""
-    bands = None
-    for b in range(n_bands):
-        part = bits.select(
-            id_col,
-            F.lit(b).alias("band"),
-            F.substring("bits", b * band_len + 1, band_len).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one posexplode generator per signature row instead of n_bands
+    # unioned scans of the bits subtree (the union form re-ran the
+    # full plane-dot projection once per band per join side)
+    bands = bits.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("bits", b * band_len + 1, band_len)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -207,10 +278,24 @@ def cosine_verify_pairs(
     threshold. Filter runs on the unrounded double (identical IEEE
     math in Spark and DuckDB over the same float32 inputs); the output
     rounds to 4 decimals for hash stability."""
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b"))
+    # norms evaluated once per vector row below the pair join: the
+    # verify then costs one dot per candidate pair instead of
+    # dot + 2 norms (cos = dot/(n_a*n_b), the same tree factored)
+    d = dim_of(emb)
+    ea = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        norm_col_d(F.col("embedding"), d).alias("_na"),
+    )
+    eb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        norm_col_d(F.col("embedding"), d).alias("_nb"),
+    )
     joined = pairs.join(ea, on="id_a").join(eb, on="id_b")
-    cos = cosine_col(F.col("emb_a"), F.col("emb_b"))
+    cos = dot_col_d(F.col("emb_a"), F.col("emb_b"), d) / (
+        F.col("_na") * F.col("_nb")
+    )
     return joined.filter(cos > threshold).select(
         F.col("id_a").alias("vec_a"),
         F.col("id_b").alias("vec_b"),
@@ -239,7 +324,10 @@ def lsh_cosine_dedup(
     return cosine_verify_pairs(emb, pairs, threshold, id_col)
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+    d: int | None = None,
+) -> DataFrame:
     """(id, centroid_id): assign each vector to its nearest centroid
     by cosine (IVF coarse quantizer). Centroids (``centroid_id``,
     ``ce``) broadcast; ties break on centroid_id. At 100 TB the
@@ -247,8 +335,15 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> 
     probes prune partitions."""
     from pyspark.sql import Window
 
-    joined = emb.crossJoin(F.broadcast(centroids))
-    cos = cosine_col(F.col("embedding"), F.col("ce"))
+    # centroid norms evaluated once on the broadcast side (K rows), and
+    # the row's own norm once per row instead of once per (row, centroid)
+    cent = centroids.withColumn("_nc", norm_col_d(F.col("ce"), d))
+    joined = spread_narrow_scan(emb).withColumn(
+        "_ne", norm_col_d(F.col("embedding"), d)
+    ).crossJoin(F.broadcast(cent))
+    cos = dot_col_d(F.col("embedding"), F.col("ce"), d) / (
+        F.col("_ne") * F.col("_nc")
+    )
     win = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
     return (
         joined.select(id_col, "centroid_id", cos.alias("cos"))
@@ -272,6 +367,7 @@ def ivf_topk(
     candidate scan is ``n_probe / n_centroids`` of the corpus, and with
     the assignment persisted as a partition column it is a partition-
     pruned scan, not a filter."""
+    d = dim_of(emb)
     probe = (
         centroids.crossJoin(F.broadcast(query))
         .select("centroid_id", cosine_col(F.col("ce"), F.col("qe")).alias("cos"))
@@ -279,11 +375,11 @@ def ivf_topk(
         .limit(n_probe)
         .select("centroid_id")
     )
-    assign = ivf_assign(emb, centroids, id_col)
+    assign = ivf_assign(emb, centroids, id_col, d=d)
     cand = emb.join(assign, on=id_col).join(
         F.broadcast(probe), on="centroid_id", how="left_semi"
     )
-    return brute_force_topk(cand, query, k, id_col)
+    return brute_force_topk(cand, query, k, id_col, d=d)
 
 
 def ivf_write_index(
@@ -372,14 +468,30 @@ def ivf_topk_batch(
     """
     from pyspark.sql import Window
 
-    probe = _probe_table(queries, centroids, n_probe, query_id_col)
-    assign = ivf_assign(emb, centroids, id_col)
-    corpus = emb.join(assign, on=id_col)
+    narrow = scan_is_narrow(emb)
+    d = dim_of(emb)
+    probe = _probe_table(queries, centroids, n_probe, query_id_col, d=d)
+    assign = ivf_assign(emb, centroids, id_col, d=d)
+    # corpus norm computed once per corpus row BELOW the candidate
+    # join; with |cand| ~ |Q| x corpus x n_probe / n_centroids rows the
+    # per-candidate work is then a single dot instead of dot + 2 norms
+    corpus = emb.withColumn("_ne", norm_col_d(F.col("embedding"), d)).join(
+        assign, on=id_col
+    )
+    if narrow:
+        # a few-MB corpus gets AQE-coalesced to ~1 task after the
+        # assign join, serializing the dense per-candidate dot stage;
+        # an explicit repartition is AQE-exempt (skew.spread docs)
+        corpus = spread(corpus)
     cand = corpus.join(probe, on="centroid_id")
     scored = cand.select(
         query_id_col,
         id_col,
-        F.round(cosine_col(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+        F.round(
+            dot_col_d(F.col("embedding"), F.col("qe"), d)
+            / (F.col("_ne") * F.col("_nq")),
+            4,
+        ).alias("cosine"),
     )
     topw = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -389,18 +501,28 @@ def ivf_topk_batch(
     )
 
 
-def _probe_table(queries, centroids, n_probe, query_id_col):
+def _probe_table(queries, centroids, n_probe, query_id_col, d=None):
     """(query_id, qe, centroid_id): each query's n_probe nearest
     centroids, via a broadcast of the (small) centroid table."""
     from pyspark.sql import Window
 
+    # norms hoisted to one evaluation per query row / per centroid row
+    # (below the join, so the (query x centroid) product only pays the
+    # dot); the probe rows also carry the query norm out so the
+    # candidate scorer downstream never re-norms the query per pair
+    cent = centroids.withColumn("_nc", norm_col_d(F.col("ce"), d))
     return (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.withColumn("_nq", norm_col_d(F.col("qe"), d))
+        .crossJoin(F.broadcast(cent))
         .select(
             query_id_col,
             "qe",
+            "_nq",
             F.col("centroid_id"),
-            cosine_col(F.col("qe"), F.col("ce")).alias("pcos"),
+            (
+                dot_col_d(F.col("qe"), F.col("ce"), d)
+                / (F.col("_nq") * F.col("_nc"))
+            ).alias("pcos"),
         )
         .withColumn(
             "_pr",
@@ -411,7 +533,7 @@ def _probe_table(queries, centroids, n_probe, query_id_col):
             ),
         )
         .filter(F.col("_pr") <= n_probe)
-        .select(query_id_col, "qe", "centroid_id")
+        .select(query_id_col, "qe", "_nq", "centroid_id")
     )
 
 
@@ -440,19 +562,24 @@ def ivf_topk_batch_indexed(
     queries reads corpus/n_centroids x n_probed_partitions bytes."""
     from pyspark.sql import Window
 
-    probe = _probe_table(queries, centroids, n_probe, query_id_col)
+    d = dim_of(centroids, "ce")
+    probe = _probe_table(queries, centroids, n_probe, query_id_col, d=d)
     probed_ids = sorted(
         r["centroid_id"]
         for r in probe.select("centroid_id").distinct().collect()
     )
-    corpus = spark.read.parquet(index_path).filter(
-        F.col("centroid_id").isin(probed_ids)
-    )
+    corpus = spread_narrow_scan(
+        spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probed_ids))
+    ).withColumn("_ne", norm_col_d(F.col("embedding"), d))
     cand = corpus.join(probe, on="centroid_id")
     scored = cand.select(
         query_id_col,
         id_col,
-        F.round(cosine_col(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+        F.round(
+            dot_col_d(F.col("embedding"), F.col("qe"), d)
+            / (F.col("_ne") * F.col("_nq")),
+            4,
+        ).alias("cosine"),
     )
     topw = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

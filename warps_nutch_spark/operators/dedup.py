@@ -25,12 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import scan_is_narrow, spread_narrow_scan
+
 HEX = "0123456789abcdef"
-
-
-def _hexval(col, pos: int):
-    """Value 0-15 of the pos-th (1-based) hex char of an md5 column."""
-    return F.instr(F.lit(HEX), F.substring(col, pos, 1)) - 1
 
 
 def simhash_bits(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,18 +42,26 @@ def simhash_bits(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     runs single-threaded, so spread the docs first; at real scale the
     scan already has >= cores partitions and this is a no-op.
     """
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = spread_narrow_scan(docs)
     toks = docs.select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    h = toks.withColumn("md5", F.md5("tok"))
+    # bits extracted from two conv()'d 32-bit integer halves of the md5
+    # hex instead of 64 substring+instr string probes per token: bit b
+    # of the big-endian hex string == bit (31-b) of the first-8-chars
+    # value (same for the low half) — identical values, ~3x cheaper
+    # per token (the vote aggregate dominates the signature pass)
+    h = toks.withColumn(
+        "hi", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "lo", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    )
     votes = []
     for b in range(64):
-        char_pos = b // 4 + 1
-        k = b % 4
-        bit = (_hexval(F.col("md5"), char_pos) / (2 ** (3 - k))).cast("int") % 2
+        if b < 32:
+            bit = F.shiftright(F.col("hi"), 31 - b).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftright(F.col("lo"), 63 - b).bitwiseAND(F.lit(1))
         votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
     agg = h.groupBy(id_col).agg(*votes)
     bits = F.concat(
@@ -108,7 +113,7 @@ def text_profile_signature(
     (the Java version inherits HashMap iteration order, which is not
     deterministic across JVMs — a bug for a *signature*; we pin it).
     """
-    toks = docs.select(
+    toks = spread_narrow_scan(docs).select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9]+", " ")), " ")
@@ -180,15 +185,18 @@ def rolling_fingerprints(
     codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
 
     def gram_hash(cs, start):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: (acc * base + F.element_at(cs, (start + j).cast("int")))
-            % mod,
-        )
+        # unrolled k-term Horner fold: same left-to-right integer math
+        # as the previous F.aggregate form, minus the per-position
+        # accumulator/lambda machinery (measured ~2x on the winnow path)
+        acc = F.lit(0).cast("long")
+        for j in range(k):
+            acc = (acc * base + F.element_at(cs, (start + j).cast("int"))) % mod
+        return acc
 
     # hash every k-gram ONCE into an array (one row per doc — the text
-    # never rides an explode), winnow in-place, emit distinct mins
+    # never rides an explode), winnow in-place, emit distinct mins.
+    # per-window min via least() over direct indexing — the previous
+    # slice()+array_min allocated a fresh window array per position
     fps = F.transform(
         F.array(codes),  # single-element wrapper = evaluate-once binding
         lambda cs: F.transform(
@@ -201,12 +209,17 @@ def rolling_fingerprints(
             lambda arr: F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size(arr) - window + 1),
-                    lambda w: F.array_min(F.slice(arr, w, window)),
+                    lambda w: F.least(
+                        *[
+                            F.element_at(arr, (w + i).cast("int"))
+                            for i in range(window)
+                        ]
+                    ),
                 )
             ),
         )[0],
     )[0]
-    return docs.filter(n_pos >= window).select(
+    return spread_narrow_scan(docs).filter(n_pos >= window).select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     )
 
@@ -258,9 +271,9 @@ def shingles(
     """(id, shingle) rows of word n-grams. ``dedup=False`` skips the
     distinct (one shuffle) for consumers like a min-aggregate that are
     duplicate-insensitive."""
-    t = docs.select(F.col(id_col), F.split(text_col, " ").alias("t")).filter(
-        F.size("t") >= n
-    )
+    t = spread_narrow_scan(docs).select(
+        F.col(id_col), F.split(text_col, " ").alias("t")
+    ).filter(F.size("t") >= n)
     sh = t.select(
         F.col(id_col),
         F.explode(
@@ -421,34 +434,53 @@ def minhash_lsh_pairs(
 def jaccard_pairs(docs: DataFrame, candidates: DataFrame, threshold: float = 0.0) -> DataFrame:
     """True n-gram Jaccard for candidate pairs (doc_a, doc_b):
     |A ∩ B| / |A ∪ B| over distinct 3-gram shingles. Joins only the
-    candidate pairs — the LSH pre-screen keeps this linear-ish."""
-    sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # join on (doc, shingle) so the shingle-equality is part of the
-    # join key — no per-pair cross blow-up
-    inter = (
-        candidates.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            on=["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    candidate pairs — the LSH pre-screen keeps this linear-ish.
+
+    Shape (guide §2.3/§3.3): each doc's distinct shingle set rides as
+    ONE array row (built in the scan projection, no explode, no
+    distinct shuffle), the candidate pairs join those arrays by id,
+    and |A ∩ B| is a per-pair ``array_intersect`` in codegen. The r2-r5
+    form exploded the shingles and joined candidates ON (doc, shingle),
+    shuffling |candidates| x ~n_shingles rows twice (87 s at 50k docs
+    under the simhash candidate load); the array form shuffles one
+    ~400-byte array per pair side. n_inter/n_a/n_b are identical
+    (both sides deduped, intersection of sets)."""
+    narrow = scan_is_narrow(docs)
+    t = spread_narrow_scan(docs).select(
+        F.col("doc_id"), F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    arr = t.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(t)-2),"
+                " i -> array_join(slice(t, i, 3), ' '))"
+            )
+        ).alias("sh"),
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+    arr_a = arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    arr_b = arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    if narrow:
+        # batch-bounded doc table: broadcast the array side so the
+        # (possibly huge — simhash feeds 7.7M pairs at sf1) candidate
+        # stream is never shuffled with ~800-byte arrays attached (a
+        # 2 x multi-GB sort-merge exchange measured 34 s); at corpus
+        # scale the shuffle join stands
+        arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
+    joined = candidates.join(arr_a, on="doc_a").join(arr_b, on="doc_b")
+    # bind |A ∩ B| to a lambda variable and apply the threshold INSIDE
+    # the array domain, emitting via explode: a generator evaluates its
+    # child exactly once, so the (non-codegen, per-pair) array_intersect
+    # runs ONCE — as a plain projected column it was re-inlined into
+    # both the value projection and the pushed-down filter (2 evals/pair)
+    jac_arr = F.filter(
+        F.transform(
+            F.array(F.size(F.array_intersect("sh_a", "sh_b"))),
+            lambda ni: F.round(ni / (F.size("sh_a") + F.size("sh_b") - ni), 6),
+        ),
+        lambda j: j > threshold,
     )
-    return out.filter(F.col("jaccard") > threshold)
+    return joined.select("doc_a", "doc_b", F.explode(jac_arr).alias("jaccard"))
 
 
 def hamming_pairs_int64(
@@ -483,6 +515,10 @@ def hamming_pairs_int64(
         raise ValueError(f"n_bands={n_bands} must divide 64")
     width = 64 // n_bands
     mask = (1 << width) - 1
+    # one small input file = one task for the ENTIRE bucket-join probe
+    # (the quadratic candidate enumeration ran single-threaded: 38 s ->
+    # 3 s at 50k sigs on local[32]); no-op when the scan is already wide
+    sigs = spread_narrow_scan(sigs)
     bands = sigs.select(
         F.col(id_col),
         F.col(sig_col),
@@ -496,7 +532,15 @@ def hamming_pairs_int64(
         ).alias("band", "key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    # Hamming verify BEFORE the distinct (guide §2.3 "shuffle fewer
+    # bytes"): with only 2^width distinct keys per band the bucket join
+    # emits O(n^2 / 2^width) collision rows, and dedup'ing them first
+    # shuffled the whole quadratic candidate set (36 s at 50k images).
+    # hamming is a pure function of (id_a, id_b), so
+    # distinct(filter(x)) == filter(distinct(x)) — the verify runs in
+    # the join stage (cheap codegen bit_count) and the distinct only
+    # ever sees true near-dup pairs.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -506,16 +550,13 @@ def hamming_pairs_int64(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{sig_col}").alias("sig_a"),
-            F.col(f"b.{sig_col}").alias("sig_b"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def paragraph_chunks(
@@ -534,7 +575,7 @@ def paragraph_chunks(
         f"transform(sequence(0, (size(split({text_col}, ' ')) - 1) div {k}),"
         f" i -> array_join(slice(split({text_col}, ' '), i * {k} + 1, {k}), ' '))"
     )
-    return docs.select(
+    return spread_narrow_scan(docs).select(
         F.col(id_col), F.posexplode(paras).alias("para_idx", "para")
     )
 

@@ -18,6 +18,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def scan_is_narrow(df: DataFrame) -> bool:
+    """True when ``df``'s current physical partitioning has fewer
+    partitions than the session's cores — the "one small parquet file
+    -> one task" input-skew case (guide §2.5). At real scale the scan
+    has >= cores partitions and this returns False, so spreads guarded
+    by it are scale-adaptive no-ops, not constants tuned to local mode."""
+    sc = df.sparkSession.sparkContext
+    try:
+        return df.rdd.getNumPartitions() < sc.defaultParallelism
+    except Exception:
+        return False
+
+
+def spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Explicit repartition to the session's core count. Two distinct
+    reasons to use this over relying on the scan split / AQE:
+
+    1. a single small input file yields ONE scan partition, serializing
+       every expression evaluated in that stage;
+    2. AQE's byte-based partition coalescing can collapse a few-MB but
+       compute-DENSE intermediate (per-row array math: dots, shingles,
+       hashes) back to 1-6 tasks; an explicit user repartition(n) is
+       exempt from AQE coalescing.
+
+    Callers gate on :func:`scan_is_narrow` (or equivalent knowledge
+    that the relation is batch-bounded) so a 100 TB corpus is never
+    blanket-reshuffled."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    return df.repartition(n, F.col(by)) if by else df.repartition(n)
+
+
+def spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """:func:`spread` applied only when the input is narrower than the
+    core count (the common operator-entry guard)."""
+    return spread(df) if scan_is_narrow(df) else df
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     key: str,

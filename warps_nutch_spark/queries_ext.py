@@ -545,7 +545,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    a, bb = bands.alias("a"), bands.alias("b")
+    # build side broadcast (~200k rows x ~50 B — well under the cap at
+    # bench scale): the alternative sort-merge join's exchanges carry a
+    # few MB, so AQE byte-coalescing serialized the quadratic bucket
+    # probe into 1-2 tasks; with a BHJ the probe runs on the (spread)
+    # signature partitions. The hamming verify sits in the join
+    # condition, so only true near-dup pairs reach the distinct.
+    a, bb = bands.alias("a"), F.broadcast(bands.alias("b"))
     return (
         a.join(
             bb,
