@@ -137,6 +137,12 @@ _FRONT = [
     "dedup_paragraphs",
     # tika tier gained the OLE2 slice this round -> re-check the dispatch
     "parse_dispatch",
+    # r6 optimization round: implementations restructured for parallel
+    # plan shape (results identical, re-proved against the DuckDB twin
+    # at sf0.01+sf0.1) -> fresh driver rows
+    "simhash_pairs",
+    "parse_pdf",
+    "parse_office",
 ]
 
 _BACK = [

@@ -99,7 +99,20 @@ def ensure_worker_imports(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the documents table ships as ONE parquet file at bench scale,
+        # so every doc-derived query (synthetic-blob parse pipelines,
+        # regex extraction, shingling) otherwise runs its entire dense
+        # stage — including every mapInPandas parser — in a single
+        # task (guide §2.5 input skew). Narrow-gated: no-op when the
+        # scan already has >= cores partitions. Results are unaffected:
+        # no doc query is row-order-sensitive (limits are ordered,
+        # aggregates order-free — audited r6).
+        from .operators.skew import spread_narrow_scan
+
+        df = spread_narrow_scan(df)
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -2605,7 +2605,12 @@ def q_parse_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = docs.mapInPandas(
         _build, "url_hash string, url string, content_type string, bytes binary"
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed: parse_dispatch's per-mimetype slice branches (and the
+    # tika tier's sub-slices) each re-execute their input subtree — the
+    # synthetic-blob builder otherwise runs ~29x (58 MapInPandas nodes in
+    # the uncheckpointed plan); blocks are ContextCleaner-GC'd when the
+    # DataFrame drops, as with q_simhash_pairs
     out = parse_dispatch(src)
     return out.select(
         "url_hash",
@@ -2710,7 +2715,12 @@ def q_parse_office(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = docs.mapInPandas(
         _build, "url_hash string, url string, content_type string, bytes binary"
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed: parse_dispatch's per-mimetype slice branches (and the
+    # tika tier's sub-slices) each re-execute their input subtree — the
+    # synthetic-blob builder otherwise runs ~29x (58 MapInPandas nodes in
+    # the uncheckpointed plan); blocks are ContextCleaner-GC'd when the
+    # DataFrame drops, as with q_simhash_pairs
     out = parse_dispatch(src)
     return out.select(
         "url_hash",
@@ -2767,7 +2777,12 @@ def q_parse_msoffice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = docs.mapInPandas(
         _build, "url_hash string, url string, content_type string, bytes binary"
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed: parse_dispatch's per-mimetype slice branches (and the
+    # tika tier's sub-slices) each re-execute their input subtree — the
+    # synthetic-blob builder otherwise runs ~29x (58 MapInPandas nodes in
+    # the uncheckpointed plan); blocks are ContextCleaner-GC'd when the
+    # DataFrame drops, as with q_simhash_pairs
     out = parse_dispatch(src)
     return out.select(
         "url_hash",
