@@ -135,6 +135,19 @@ def test_basic_auth_retry(spark):
         assert r.protocol_status == ProtocolStatus.SUCCESS
 
 
+def test_basic_auth_retry_with_single_attempt_budget(spark):
+    """The authenticated retry rides OUTSIDE the transport-retry budget
+    (ADVICE r5): with max_retry=1 the 401 challenge used to consume the
+    only attempt and the URL came back code 0 / EXCEPTION."""
+    with _Srv() as base:
+        rules = [{"username": "u1", "password": "p1"}]
+        out = _fetch(spark, base, ["/basic/a/u1:p1"], rules=rules, max_retry=1)
+        r = out["/basic/a/u1:p1"]
+        assert r.code == 200
+        assert bytes(r.content) == b"basic ok u1:p1"
+        assert r.protocol_status == ProtocolStatus.SUCCESS
+
+
 def test_basic_auth_no_rules_stays_401(spark):
     with _Srv() as base:
         out = _fetch(spark, base, ["/basic/a/u1:p1"])

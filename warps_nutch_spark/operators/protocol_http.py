@@ -343,7 +343,13 @@ def _fetch_one_http(
 
     last_exc: Exception | None = None
     authed = False  # one authenticated retry per URL (challenge loop guard)
-    for _attempt in range(max(1, max_retry)):
+    # the authenticated retry gets its OWN attempt outside the transport
+    # retry budget (ADVICE r5: a 401 challenge landing on the final
+    # attempt previously consumed the last slot and the URL came back as
+    # code 0 / EXCEPTION instead of its auth result)
+    attempts_left = max(1, max_retry)
+    while attempts_left > 0:
+        attempts_left -= 1
         entry = None
         if pool is not None:
             # fetch.mode=PROXY (HttpBase.java:147-151): rotate the
@@ -421,9 +427,12 @@ def _fetch_one_http(
             # commons-httpclient performs exactly this handshake)
             if resp.status == 401 and auth_rules and not authed:
                 challenge = resp.getheader("WWW-Authenticate")
+                # digest uri must equal the request target: behind a
+                # plain-http proxy that is the absolute URI (req_path),
+                # not the origin-form path (ADVICE r5)
                 hdr = (
                     _auth_header_for_challenge(
-                        challenge, auth_rules, p.hostname, origin_port, path
+                        challenge, auth_rules, p.hostname, origin_port, req_path
                     )
                     if challenge
                     else None
@@ -431,6 +440,7 @@ def _fetch_one_http(
                 if hdr:
                     headers["Authorization"] = hdr
                     authed = True
+                    attempts_left += 1  # dedicated auth attempt
                     continue
             clen = resp.getheader("Content-Length")
             out["code"] = resp.status

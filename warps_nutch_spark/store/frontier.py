@@ -336,6 +336,10 @@ class ParquetFrontierStore(FrontierStore):
         if (
             delta_rows > self.compact_ratio * max(base_rows, 1)
             or len(deltas) + 1 > self.max_delta_snapshots
+            # keep the MOR read on the broadcast anti-join path: once
+            # accumulated delta keys outgrow the broadcast gate, every
+            # read would shuffle the full base 2-3x per round (ADVICE r5)
+            or delta_rows > self.BROADCAST_DELTA_KEYS_MAX
         ):
             self.compact()
         return self.current_version()
@@ -424,6 +428,8 @@ class ParquetFrontierStore(FrontierStore):
         if (
             delta_rows > self.compact_ratio * max(base_rows, 1)
             or len(deltas) + 1 > self.max_delta_snapshots
+            # broadcast-path guard — see merge()
+            or delta_rows > self.BROADCAST_DELTA_KEYS_MAX
         ):
             self.compact()
         return self.current_version()
