@@ -458,6 +458,14 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame, threshold: float = 0.0
             )
         ).alias("sh"),
     )
+    # the verify projection (array_intersect per pair) is compute-dense
+    # over 16-byte pair rows: AQE's byte-based coalescing would pack
+    # millions of candidates onto 1-2 tasks. An explicit spread of the
+    # candidate stream is a negligible exchange (two longs per row) and
+    # pins the verify's parallelism to the core count.
+    from .skew import spread
+
+    candidates = spread(candidates)
     arr_a = arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     arr_b = arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     if narrow:
