@@ -113,39 +113,105 @@ def text_profile_signature(
     (the Java version inherits HashMap iteration order, which is not
     deterministic across JVMs — a bug for a *signature*; we pin it).
     """
-    toks = spread_narrow_scan(docs).select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9]+", " ")), " ")
-        ).alias("tok"),
-    ).filter(F.length("tok") > min_token_len)
-    counts = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy(id_col)
-    # materialize the window first (a window expr can't sit in a WHERE)
-    counts = counts.withColumn("maxfreq", F.max("cnt").over(w))
-    # Java Math.round == floor(x + 0.5): spell it out so Spark
-    # (HALF_UP) and DuckDB (HALF_EVEN) oracles can't diverge at .5
-    quant = F.greatest(
-        F.when(F.col("maxfreq") > 1, F.lit(2)).otherwise(F.lit(1)),
-        F.floor(F.col("maxfreq") * F.lit(float(quant_rate)) + F.lit(0.5)).cast("int"),
+    # r6: computed entirely in the ARRAY DOMAIN inside each document's
+    # row — ZERO shuffles. The r1-r5 form exploded ~50 token rows per
+    # doc and ran groupBy(id, tok) -> window max(id) -> groupBy(id),
+    # i.e. three exchanges of the full token table. Here the sorted
+    # token array's run-lengths give the same (tok, cnt) multiset; the
+    # quantization math, the (qcnt desc, tok asc) profile ordering via
+    # array_sort over (neg, tok) structs, and md5 are the exact same
+    # expressions as before (oracle unchanged, byte-identical output).
+    # Each derived array is bound once via transform(array(..))[0] so
+    # CollapseProject cannot re-inline it per reference.
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9]+", " ")), " "),
+        lambda t: F.length(t) > min_token_len,
     )
-    quantized = (
-        counts.withColumn("quant", quant)
-        .withColumn("qcnt", (F.col("cnt") / F.col("quant")).cast("long") * F.col("quant"))
-        .filter(F.col("qcnt") >= F.col("quant"))
-    )
-    profile = quantized.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("qcnt")).alias("neg"), F.col("tok")))
+
+    def _lines(pairs):
+        # pairs: array<struct<tok,cnt>> (distinct tokens + run counts).
+        # quant is itself bound once (it aggregates over pairs and is
+        # referenced per element in the quantize + threshold lambdas)
+        maxfreq = F.array_max(F.transform(pairs, lambda p: p.getField("cnt")))
+        quant_expr = F.greatest(
+            F.when(maxfreq > 1, F.lit(2)).otherwise(F.lit(1)),
+            # Java Math.round == floor(x + 0.5), spelled out as before
+            F.floor(maxfreq * F.lit(float(quant_rate)) + F.lit(0.5)).cast("int"),
+        )
+
+        def _with_quant(quant):
+            quantized = F.filter(
+                F.transform(
+                    pairs,
+                    lambda p: F.struct(
+                        (
+                            -(
+                                (p.getField("cnt") / quant).cast("long") * quant
+                            )
+                        ).alias("neg"),
+                        p.getField("tok").alias("tok"),
+                    ),
                 ),
-                lambda s: F.concat(s.getField("tok"), F.lit(" "), (-s.getField("neg")).cast("string")),
+                lambda s: -s.getField("neg") >= quant,
+            )
+            return F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(quantized),
+                    lambda s: F.concat(
+                        s.getField("tok"),
+                        F.lit(" "),
+                        (-s.getField("neg")).cast("string"),
+                    ),
+                ),
+            )
+
+        return F.transform(F.array(quant_expr), _with_quant)[0]
+
+    def _pairs(st, starts):
+        # run-length encode the sorted token array: starts holds the
+        # 1-based index of each run's first element
+        return F.transform(
+            F.sequence(F.lit(1), F.size(starts)),
+            lambda j: F.struct(
+                F.element_at(st, F.element_at(starts, j)).alias("tok"),
+                (
+                    F.coalesce(
+                        F.try_element_at(starts, (j + 1).cast("int")),
+                        F.size(st) + 1,
+                    )
+                    - F.element_at(starts, j)
+                )
+                .cast("long")
+                .alias("cnt"),
             ),
-        ).alias("profile")
+        )
+
+    profile = F.transform(
+        F.array(F.array_sort(toks)),
+        lambda st: F.transform(
+            F.array(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(st)),
+                    # try_element_at: ANSI element_at rejects index 0 /
+                    # overruns even on the short-circuited i == 1 branch
+                    lambda i: (i == 1)
+                    | ~F.element_at(st, i).eqNullSafe(
+                        F.try_element_at(st, (i - 1).cast("int"))
+                    ),
+                )
+            ),
+            lambda starts: _lines(_pairs(st, starts)),
+        )[0],
+    )[0]
+    out = spread_narrow_scan(docs).select(
+        F.col(id_col), F.size(toks).alias("_n_toks"), profile.alias("_profile")
     )
-    return profile.select(F.col(id_col), F.md5("profile").alias("text_profile_sig"))
+    # docs with no qualifying tokens had no exploded rows before and
+    # were absent from the grouped profile — keep that contract
+    return out.filter(F.col("_n_toks") > 0).select(
+        F.col(id_col), F.md5("_profile").alias("text_profile_sig")
+    )
 
 
 def rolling_fingerprints(
