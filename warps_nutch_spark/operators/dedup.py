@@ -22,7 +22,7 @@ the full cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .skew import scan_is_narrow, spread_narrow_scan
