@@ -277,6 +277,92 @@ def banded_pairs(
     )
 
 
+def _verify_pairs_by_id(emb, pairs, threshold, id_col):
+    """Batch-gated fast verify: when the vector table is batch-bounded
+    (narrow scan), broadcast the (id -> vector) matrix to the workers
+    and score candidate pairs from their IDs alone — the pair stream
+    crosses the Python boundary at 16 B/row instead of carrying two
+    ~256 B embedding arrays through two joins (30x less Arrow traffic,
+    and the attach joins disappear from the plan). Per-vector norms are
+    computed once per task; the dot/norm folds run dimension-by-
+    dimension in float64, bit-identical to the JVM expression fold.
+    Returns None (caller falls back to the join form) when the corpus
+    is not batch-bounded or IDs are not integer-typed."""
+    import numpy as np
+
+    if not scan_is_narrow(emb):
+        return None
+    id_field = emb.schema[id_col].dataType.typeName()
+    if id_field not in ("long", "integer", "short", "byte"):
+        return None
+    rows = emb.select(id_col, "embedding").collect()
+    if not rows:
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float32)
+    order = np.argsort(ids)
+    bc = emb.sparkSession.sparkContext.broadcast((ids[order], M[order]))
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sids, mat = bc.value
+        M64 = mat.astype(np.float64)
+        norms = np.zeros(len(M64), dtype=np.float64)
+        for j in range(M64.shape[1]):
+            norms += M64[:, j] * M64[:, j]
+        norms = np.sqrt(norms)
+        for batch in batches:
+            names = batch.schema.names
+            a = np.asarray(batch.column(names.index("id_a")), dtype=np.int64)
+            b = np.asarray(batch.column(names.index("id_b")), dtype=np.int64)
+            ia = np.clip(np.searchsorted(sids, a), 0, len(sids) - 1)
+            ib = np.clip(np.searchsorted(sids, b), 0, len(sids) - 1)
+            if not (np.array_equal(sids[ia], a) and np.array_equal(sids[ib], b)):
+                raise ValueError(
+                    "verify_pairs_by_id: pair id absent from the broadcast "
+                    "vector table — pairs must derive from the same emb"
+                )
+            A, B = M64[ia], M64[ib]
+            acc = np.zeros(len(A), dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("id_a")),
+                    batch.column(names.index("id_b")),
+                    pa.array(acc, pa.float64()),
+                    pa.array(norms[ia], pa.float64()),
+                    pa.array(norms[ib], pa.float64()),
+                ],
+                names=["id_a", "id_b", "_dot", "_na", "_nb"],
+            )
+
+    from pyspark.sql import types as T
+
+    in_df = pairs.select("id_a", "id_b")
+    out_schema = T.StructType(
+        [
+            in_df.schema["id_a"],
+            in_df.schema["id_b"],
+            T.StructField("_dot", T.DoubleType()),
+            T.StructField("_na", T.DoubleType()),
+            T.StructField("_nb", T.DoubleType()),
+        ]
+    )
+    cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    return (
+        in_df.mapInArrow(_score, out_schema)
+        .filter(cos > threshold)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
 def cosine_verify_pairs(
     emb: DataFrame, pairs: DataFrame, threshold: float, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -292,6 +378,9 @@ def cosine_verify_pairs(
     # downstream dot is dense, and AQE byte-coalescing would serialize
     # it; an explicit spread exchange of two longs per row is free
     pairs = spread(pairs)
+    fast = _verify_pairs_by_id(emb, pairs, threshold, id_col)
+    if fast is not None:
+        return fast
     ea = emb.select(
         F.col(id_col).alias("id_a"),
         F.col("embedding").alias("emb_a"),
