@@ -277,31 +277,43 @@ def banded_pairs(
     )
 
 
-def _verify_pairs_by_id(emb, pairs, threshold, id_col):
-    """Batch-gated fast verify: when the vector table is batch-bounded
-    (narrow scan), broadcast the (id -> vector) matrix to the workers
-    and score candidate pairs from their IDs alone — the pair stream
-    crosses the Python boundary at 16 B/row instead of carrying two
-    ~256 B embedding arrays through two joins (30x less Arrow traffic,
-    and the attach joins disappear from the plan). Per-vector norms are
-    computed once per task; the dot/norm folds run dimension-by-
-    dimension in float64, bit-identical to the JVM expression fold.
-    Returns None (caller falls back to the join form) when the corpus
-    is not batch-bounded or IDs are not integer-typed."""
+def _pair_scores_by_id(vecs, pairs, id_col="vec_id", emb_col="embedding"):
+    """Batch-gated ID-closure scoring core: when the vector table is
+    batch-bounded (narrow scan), broadcast the (id -> vector) matrix to
+    the workers and score ``pairs`` (columns ``id_a``, ``id_b``) from
+    their IDs alone — the pair stream crosses the Python boundary at
+    16 B/row instead of carrying two ~256 B embedding arrays through
+    two joins (30x less Arrow traffic, and the attach joins disappear
+    from the plan). Per-vector norms are computed once per task; the
+    dot/norm folds run dimension-by-dimension in float64, bit-identical
+    to the JVM expression fold. Returns (id_a, id_b, _dot, _na, _nb)
+    or None (caller falls back to the join form) when the table is not
+    batch-bounded or IDs are not integer-typed. Duplicate ids in
+    ``vecs`` are tolerated when they carry the same vector (first
+    occurrence wins)."""
     import numpy as np
 
-    if not scan_is_narrow(emb):
+    if not scan_is_narrow(vecs):
         return None
-    id_field = emb.schema[id_col].dataType.typeName()
+    id_field = vecs.schema[id_col].dataType.typeName()
     if id_field not in ("long", "integer", "short", "byte"):
         return None
-    rows = emb.select(id_col, "embedding").collect()
+    rows = vecs.select(id_col, emb_col).collect()
     if not rows:
         return None
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([r[1] for r in rows], dtype=np.float32)
-    order = np.argsort(ids)
-    bc = emb.sparkSession.sparkContext.broadcast((ids[order], M[order]))
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    keep = np.concatenate([[True], np.diff(ids) != 0])
+    if not keep.all():
+        # a duplicate id is only safe when it carries the identical
+        # vector (e.g. a query table that is a slice of the corpus);
+        # consecutive-row comparison covers runs of any length
+        dup = np.flatnonzero(~keep)
+        if not np.array_equal(M[dup], M[dup - 1]):
+            return None
+    bc = vecs.sparkSession.sparkContext.broadcast((ids[keep], M[keep]))
 
     def _score(batches):
         import numpy as np
@@ -321,8 +333,8 @@ def _verify_pairs_by_id(emb, pairs, threshold, id_col):
             ib = np.clip(np.searchsorted(sids, b), 0, len(sids) - 1)
             if not (np.array_equal(sids[ia], a) and np.array_equal(sids[ib], b)):
                 raise ValueError(
-                    "verify_pairs_by_id: pair id absent from the broadcast "
-                    "vector table — pairs must derive from the same emb"
+                    "pair_scores_by_id: pair id absent from the broadcast "
+                    "vector table — pairs must derive from the same vecs"
                 )
             A, B = M64[ia], M64[ib]
             acc = np.zeros(len(A), dtype=np.float64)
@@ -351,15 +363,21 @@ def _verify_pairs_by_id(emb, pairs, threshold, id_col):
             T.StructField("_nb", T.DoubleType()),
         ]
     )
+    return in_df.mapInArrow(_score, out_schema)
+
+
+def _verify_pairs_by_id(emb, pairs, threshold, id_col):
+    """Batch-gated fast verify over :func:`_pair_scores_by_id`:
+    threshold on the unrounded cosine, rounded output columns. Returns
+    None when the core declines (caller falls back to the join form)."""
+    scored = _pair_scores_by_id(emb, pairs, id_col)
+    if scored is None:
+        return None
     cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
-    return (
-        in_df.mapInArrow(_score, out_schema)
-        .filter(cos > threshold)
-        .select(
-            F.col("id_a").alias("vec_a"),
-            F.col("id_b").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+    return scored.filter(cos > threshold).select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round(cos, 4).alias("cosine"),
     )
 
 
@@ -457,8 +475,6 @@ def ivf_assign(
     ``ce``) broadcast; ties break on centroid_id. At 100 TB the
     assignment is computed once and persisted as a partition column so
     probes prune partitions."""
-    from pyspark.sql import Window
-
     # centroid norms evaluated once on the broadcast side (K rows), and
     # the row's own norm once per row instead of once per (row, centroid)
     cent = centroids.withColumn("_nc", norm_col_d(F.col("ce"), d))
@@ -468,12 +484,22 @@ def ivf_assign(
     cos = dot_col_d(F.col("embedding"), F.col("ce"), d) / (
         F.col("_ne") * F.col("_nc")
     )
-    win = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
+    # argmax as a map-side-combinable aggregate instead of a
+    # row_number window: max(struct(cos, -centroid_id)) picks the same
+    # row as rank-1 under (cos DESC, centroid_id ASC) — double
+    # comparison semantics are the sort's, ties on cos break to the
+    # smaller centroid via the negated id — and the partial aggregation
+    # collapses the n_rows x n_centroids product to one row per vector
+    # BEFORE the exchange, where the window shuffled and sorted it all
     return (
         joined.select(id_col, "centroid_id", cos.alias("cos"))
-        .withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("_negc"))
+            ).alias("_b")
+        )
+        .select(id_col, (-F.col("_b._negc")).alias("centroid_id"))
     )
 
 
@@ -517,6 +543,16 @@ def ivf_write_index(
     assign = ivf_assign(emb, centroids, id_col)
     (
         emb.join(assign, on=id_col)
+        # cluster rows by the partition value before the write:
+        # without this every write task emits one file per centroid it
+        # happens to hold (tasks x centroids tiny files — 256 at the
+        # bench shape), and both the write commit and every later
+        # probe pay the per-file overhead. Hash-clustering bounds the
+        # file count at one per centroid; at scale a hot centroid's
+        # single-task file is bounded by splitting clusters across
+        # more centroids (n_list scales with corpus size in IVF), not
+        # by fragmenting the write.
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
@@ -677,19 +713,51 @@ def ivf_topk_batch(
     d = dim_of(emb)
     probe = _probe_table(queries, centroids, n_probe, query_id_col, d=d)
     assign = ivf_assign(emb, centroids, id_col, d=d)
-    # corpus norm computed once per corpus row BELOW the candidate
-    # join; with |cand| ~ |Q| x corpus x n_probe / n_centroids rows the
-    # per-candidate work is then a single dot instead of dot + 2 norms
-    corpus = emb.withColumn("_ne", norm_col_d(F.col("embedding"), d)).join(
-        assign, on=id_col
-    )
+    scored = None
     if narrow:
-        # a few-MB corpus gets AQE-coalesced to ~1 task after the
-        # assign join, serializing the dense per-candidate dot stage;
-        # an explicit repartition is AQE-exempt (skew.spread docs)
-        corpus = spread(corpus)
-    cand = corpus.join(probe, on="centroid_id")
-    scored = _scored_candidates(cand, query_id_col, id_col)
+        # ID-closure fast path (batch-gated, same as the LSH verify):
+        # candidates cross the Python boundary as (query_id, vec_id)
+        # pairs at 16 B/row against a broadcast (id -> vector) matrix,
+        # instead of carrying embedding + qe (~0.5 KB/row) through the
+        # probe join and the Arrow transpose. Query vectors ride in the
+        # same matrix (duplicate ids tolerated because a query slice of
+        # the corpus carries identical vectors; mismatching duplicates
+        # decline the fast path).
+        vecs = emb.select(id_col, "embedding").unionByName(
+            queries.select(
+                F.col(query_id_col).alias(id_col), F.col("qe").alias("embedding")
+            )
+        )
+        pair_ids = spread(
+            assign.join(probe.select(query_id_col, "centroid_id"), on="centroid_id")
+            .select(
+                F.col(query_id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        fast = _pair_scores_by_id(vecs, pair_ids, id_col)
+        if fast is not None:
+            scored = fast.select(
+                F.col("id_a").alias(query_id_col),
+                F.col("id_b").alias(id_col),
+                F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 4).alias(
+                    "cosine"
+                ),
+            )
+    if scored is None:
+        # corpus norm computed once per corpus row BELOW the candidate
+        # join; with |cand| ~ |Q| x corpus x n_probe / n_centroids rows
+        # the per-candidate work is then a single dot instead of
+        # dot + 2 norms
+        corpus = emb.withColumn("_ne", norm_col_d(F.col("embedding"), d)).join(
+            assign, on=id_col
+        )
+        if narrow:
+            # a few-MB corpus gets AQE-coalesced to ~1 task after the
+            # assign join, serializing the dense per-candidate dot stage;
+            # an explicit repartition is AQE-exempt (skew.spread docs)
+            corpus = spread(corpus)
+        cand = corpus.join(probe, on="centroid_id")
+        scored = _scored_candidates(cand, query_id_col, id_col)
     topw = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(topw))
@@ -765,11 +833,39 @@ def ivf_topk_batch_indexed(
         r["centroid_id"]
         for r in probe.select("centroid_id").distinct().collect()
     )
-    corpus = spread_narrow_scan(
-        spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probed_ids))
-    ).withColumn("_ne", norm_col_d(F.col("embedding"), d))
-    cand = corpus.join(probe, on="centroid_id")
-    scored = _scored_candidates(cand, query_id_col, id_col)
+    idx = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probed_ids))
+    scored = None
+    if scan_is_narrow(idx):
+        # ID-closure fast path (see ivf_topk_batch): candidate rows are
+        # (query_id, vec_id) pairs against a broadcast vector matrix
+        # built from the pruned index partitions plus the query slice
+        vecs = idx.select(id_col, "embedding").unionByName(
+            queries.select(
+                F.col(query_id_col).alias(id_col), F.col("qe").alias("embedding")
+            )
+        )
+        pair_ids = spread(
+            idx.select("centroid_id", id_col)
+            .join(probe.select(query_id_col, "centroid_id"), on="centroid_id")
+            .select(
+                F.col(query_id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        fast = _pair_scores_by_id(vecs, pair_ids, id_col)
+        if fast is not None:
+            scored = fast.select(
+                F.col("id_a").alias(query_id_col),
+                F.col("id_b").alias(id_col),
+                F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 4).alias(
+                    "cosine"
+                ),
+            )
+    if scored is None:
+        corpus = spread_narrow_scan(idx).withColumn(
+            "_ne", norm_col_d(F.col("embedding"), d)
+        )
+        cand = corpus.join(probe, on="centroid_id")
+        scored = _scored_candidates(cand, query_id_col, id_col)
     topw = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(topw))

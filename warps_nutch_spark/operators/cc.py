@@ -19,9 +19,10 @@ Each step is one groupBy + one join (two shuffles); the edge set
 converges to stars (child -> component-min root) in O(log^2 n) rounds
 — in practice a handful, since dedup-cluster diameters are tiny. No
 driver-side graph state: the only collected value per round is the
-O(1) convergence fingerprint (count + xxhash64 checksum), and it is
-the SAME job that materializes the round's lazy local checkpoint —
-one action per iteration, no separate convergence pass.
+O(1) convergence verdict (a structural star-forest test, see
+``_converged``), and it is the SAME job that materializes the round's
+lazy local checkpoint — one action per iteration, no separate
+convergence pass, and no confirming extra iteration.
 
 Scale notes (100 TB): each iteration's shuffle is proportional to the
 CURRENT edge set, which never grows beyond the symmetric closure of
@@ -38,12 +39,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+def _converged(edges: DataFrame) -> bool:
+    """True when ``edges`` already IS the final star forest: every edge
+    oriented child -> smaller root, each child hanging off exactly one
+    root, and no node appearing on both sides. Detecting the fixed
+    point structurally fires one full large-star/small-star pass
+    earlier than the previous fingerprint-equality test, which had to
+    compute the next iteration just to observe that nothing changed.
+
+    Equivalence: a set with these three properties is a star forest
+    whose stars are the current graph's components (each star is one
+    component) with the component minimum as root (the orientation
+    property), and such a set is a fixed point of
+    small_star(large_star(.)) — exactly the state the fingerprint test
+    waited to see twice. Conversely the converged set always has the
+    three properties (small_star output is oriented large -> small and
+    hangs every child off a single minimum). So both tests stop on the
+    SAME final edge set and the returned components are identical;
+    this one just skips the confirming pass.
+
+    Runs as ONE action, which also materializes the edge set's pending
+    lazy ``localCheckpoint`` — the one-action-per-iteration contract of
+    the loop below is preserved.
+    """
+    stacked = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("node"),
+                    F.lit(1).alias("child"),
+                    # any edge oriented small -> large disqualifies
+                    (F.col("u") < F.col("v")).cast("int").alias("bad"),
+                ),
+                F.struct(
+                    F.col("v").alias("node"),
+                    F.lit(0).alias("child"),
+                    F.lit(0).alias("bad"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    per_node = stacked.groupBy("node").agg(
+        F.sum("child").alias("nc"),
+        F.count("*").alias("nn"),
+        F.sum("bad").alias("bad"),
+    )
+    # violations: a child with two roots (nc > 1), a node that is both
+    # child and root (nc > 0 and some parent-side row: nn > nc), or a
+    # mis-oriented edge (bad > 0)
+    row = per_node.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("nc") > 1)
+                    | ((F.col("nc") > 0) & (F.col("nn") > F.col("nc"))),
+                    1,
+                ).otherwise(0)
+            )
+            + F.sum("bad"),
+            F.lit(0),
+        ).alias("viol")
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["viol"]) == 0
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -98,13 +155,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev = _fingerprint(edges)
+    # materialize the input checkpoint in its own cheap action before
+    # the first iteration's sym-union fan-out reads it twice; the
+    # structural check is NOT worth running here — the raw pair set is
+    # the largest the edge set will ever be and is essentially never
+    # already a star forest, so the check's keyed aggregation would be
+    # all cost (measured a wash vs the fingerprint loop when checked;
+    # checking only the post-iteration, star-collapsed sets wins)
+    edges.count()
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        cur = _fingerprint(edges)
-        if cur == prev:
+        if _converged(edges):
             break
-        prev = cur
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # converged edge set is a star forest: u -> root(min). Roots appear
