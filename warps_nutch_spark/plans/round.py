@@ -142,6 +142,47 @@ class RoundDriver:
         path = os.path.join(self.workdir, "metrics", f"{batch_id}_{stage}")
         df.write.mode("overwrite").parquet(path)
 
+    def _append_metrics_rows(self, rows: list, batch_id: str, stage: str) -> None:
+        """Driver-side variant of :meth:`_append_metrics` for counter
+        sets that were already collected (a handful of status rows):
+        writes the identical (batch_id, stage, counter, value) slice
+        without re-running the aggregation over the source artifact."""
+        df = self.spark.createDataFrame(
+            rows, schema="batch_id string, stage string, counter string, value long"
+        )
+        self._append_metrics(df, batch_id, stage)
+
+    def _run_overlapped(self, *fns) -> None:
+        """Run independent stage actions from a small thread pool so
+        each later job back-fills the earlier jobs' task tails (guide
+        §2.6 — Spark schedules concurrent jobs FIFO inside one
+        application). Callers pass only actions that are mutually
+        independent AND individually idempotent on resume; exceptions
+        propagate after all threads finish, so the stage's _DONE marker
+        is never written when any action failed."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+            futures = [pool.submit(fn) for fn in fns]
+            errors: list[BaseException] = []
+            for fut in futures:
+                try:
+                    fut.result()
+                except BaseException as exc:  # propagate after joining all
+                    errors.append(exc)
+        if errors:
+            raise errors[0]
+
+    def _metrics_sum(self, batch_id: str, stage: str) -> int:
+        """Sum of one committed metrics slice — the resume-path source
+        for the per-round fetched/updated totals (the fresh-run path
+        keeps the collected counter rows in memory instead)."""
+        df = self.spark.read.parquet(
+            os.path.join(self.workdir, "metrics", f"{batch_id}_{stage}")
+        )
+        row = df.agg(F.coalesce(F.sum("value"), F.lit(0)).alias("v")).collect()[0]
+        return int(row["v"])
+
     def metrics(self) -> DataFrame:
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             os.path.join(self.workdir, "metrics")
@@ -294,6 +335,10 @@ class RoundDriver:
         now = self.round_now(r)
         t0 = time.time()
         stage_times: dict[str, float] = {}
+        # per-round totals derived from the collected counter rows (one
+        # action instead of a second scan of each stage artifact); a
+        # resumed round falls back to summing the committed metrics slice
+        counts: dict[str, int] = {}
 
         # One frontier MOR materialization per round: the store version
         # is constant from generate until the updatedb merge at the end,
@@ -370,20 +415,35 @@ class RoundDriver:
                         )
                     with python_stage_parallelism(self.spark):
                         res = self._write_stage(res, batch_id, "fetch")
-                self._update_host_failures(res, batch_id)
-                self._append_metrics(
-                    res.filter(F.col("fetched"))
-                    .groupBy("new_status")
-                    .agg(F.count("*").alias("value"))
-                    .select(
-                        F.lit(batch_id).alias("batch_id"),
-                        F.lit("fetch").alias("stage"),
-                        F.col("new_status").cast("string").alias("counter"),
-                        "value",
-                    ),
-                    batch_id,
-                    "fetch",
-                )
+                # the host-state update and the fetch metrics both read
+                # the committed fetch artifact but are independent of
+                # each other: overlap the two actions (guide §2.6) so
+                # the second one back-fills the first one's task tail
+                def _hosts_update() -> None:
+                    self._update_host_failures(res, batch_id)
+
+                def _fetch_metrics() -> None:
+                    # collect the handful of per-status rows once: the
+                    # same rows feed the metrics slice AND the round's
+                    # fetched total, which previously cost a second
+                    # artifact scan
+                    fetch_counter_rows = [
+                        tuple(r)
+                        for r in res.filter(F.col("fetched"))
+                        .groupBy("new_status")
+                        .agg(F.count("*").alias("value"))
+                        .select(
+                            F.lit(batch_id).alias("batch_id"),
+                            F.lit("fetch").alias("stage"),
+                            F.col("new_status").cast("string").alias("counter"),
+                            "value",
+                        )
+                        .collect()
+                    ]
+                    self._append_metrics_rows(fetch_counter_rows, batch_id, "fetch")
+                    counts["fetched"] = sum(r[3] for r in fetch_counter_rows)
+
+                self._run_overlapped(_hosts_update, _fetch_metrics)
                 self._mark_done(batch_id, "fetch")
             stage_times["fetch"] = time.time() - t_f
             if stop_after == "fetch":
@@ -515,28 +575,47 @@ class RoundDriver:
                         os.path.join(self._stage_dir(batch_id, "updatedb"), "data")
                     )
                 stage_times["updatedb.plan_write"] = time.time() - t_sub
-                t_sub = time.time()
-                if ("updatedb", batch_id) not in self.store.committed_ops():
-                    lineage = {"op": "updatedb", "batch_id": batch_id}
-                    try:
-                        self.store.merge_linked(
-                            os.path.join(self._stage_dir(batch_id, "updatedb"), "data"),
-                            lineage,
-                        )
-                    except ValueError:
-                        # artifact from an older layout (no host_bucket):
-                        # fall back to the shuffling merge
-                        self.store.merge(merge_rows, lineage)
-                stage_times["updatedb.adopt"] = time.time() - t_sub
-                t_sub = time.time()
-                # Bloom OR is idempotent: re-merging the same keys is a no-op
-                self.urlseen.merge_round(
-                    merge_rows.select("url_hash"), "url_hash", batch_id
-                )
-                stage_times["updatedb.urlseen"] = time.time() - t_sub
-                t_sub = time.time()
-                self._append_metrics(counters, batch_id, "updatedb")
-                stage_times["updatedb.metrics"] = time.time() - t_sub
+
+                # the three post-write actions — store adopt, URL-seen
+                # Bloom merge, counter metrics — touch disjoint state
+                # and each is idempotent on resume (committed_ops guard,
+                # Bloom OR, keyed metrics overwrite): overlap them
+                # (guide §2.6); per-substage times stay in stage_sec as
+                # each thread's own wall
+                def _adopt() -> None:
+                    tt = time.time()
+                    if ("updatedb", batch_id) not in self.store.committed_ops():
+                        lineage = {"op": "updatedb", "batch_id": batch_id}
+                        try:
+                            self.store.merge_linked(
+                                os.path.join(
+                                    self._stage_dir(batch_id, "updatedb"), "data"
+                                ),
+                                lineage,
+                            )
+                        except ValueError:
+                            # artifact from an older layout (no
+                            # host_bucket): fall back to the shuffling merge
+                            self.store.merge(merge_rows, lineage)
+                    stage_times["updatedb.adopt"] = time.time() - tt
+
+                def _urlseen_merge() -> None:
+                    tt = time.time()
+                    # Bloom OR is idempotent: re-merging the same keys
+                    # is a no-op
+                    self.urlseen.merge_round(
+                        merge_rows.select("url_hash"), "url_hash", batch_id
+                    )
+                    stage_times["updatedb.urlseen"] = time.time() - tt
+
+                def _updatedb_metrics() -> None:
+                    tt = time.time()
+                    counter_rows = [tuple(r) for r in counters.collect()]
+                    self._append_metrics_rows(counter_rows, batch_id, "updatedb")
+                    counts["updated"] = sum(r[3] for r in counter_rows)
+                    stage_times["updatedb.metrics"] = time.time() - tt
+
+                self._run_overlapped(_adopt, _urlseen_merge, _updatedb_metrics)
                 for df in cached:
                     df.unpersist()
                 self._mark_done(batch_id, "updatedb")
@@ -544,12 +623,17 @@ class RoundDriver:
             _release_frontier()  # merged: the cached MOR view is now stale
 
             elapsed = time.time() - t0
-            fetched = fetch_results.filter(F.col("fetched")).count()
-            updated = (
-                self._read_stage(batch_id, "updatedb")
-                .filter(F.col("updated_batch") == batch_id)
-                .count()
-            )
+            # totals from the collected counter rows (sum over the
+            # status groups equals the old artifact-filter counts by
+            # construction); a resumed round whose stages were already
+            # done sums the committed metrics slice instead of
+            # re-scanning the fetch / updatedb artifacts
+            fetched = counts.get("fetched")
+            if fetched is None:
+                fetched = self._metrics_sum(batch_id, "fetch")
+            updated = counts.get("updated")
+            if updated is None:
+                updated = self._metrics_sum(batch_id, "updatedb")
             return {
                 "batch_id": batch_id,
                 "elapsed_sec": elapsed,
