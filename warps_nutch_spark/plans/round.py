@@ -159,7 +159,18 @@ class RoundDriver:
         application). Callers pass only actions that are mutually
         independent AND individually idempotent on resume; exceptions
         propagate after all threads finish, so the stage's _DONE marker
-        is never written when any action failed."""
+        is never written when any action failed.
+
+        Overlap only pays when there IS a task tail to back-fill: on a
+        near-single-core scheduler (e.g. one-core executors in the
+        host-sharded scaling protocol) concurrent jobs just interleave
+        on the same core and add scheduler/driver contention, so fall
+        back to sequential execution there — scale-adaptive, not a
+        local[32] constant."""
+        if self.spark.sparkContext.defaultParallelism < 4:
+            for fn in fns:
+                fn()
+            return
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(fns)) as pool:
